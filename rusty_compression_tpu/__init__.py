@@ -1,0 +1,77 @@
+"""rusty_compression_tpu — TPU-native low-rank compression framework.
+
+A from-scratch JAX/XLA + Pallas framework with the capabilities of the
+Rust ``rusty-compression`` library (see SURVEY.md): pivoted
+(rank-revealing) QR, truncated SVD, one- and two-sided interpolative
+decompositions, and randomized range sampling (fixed-rank,
+power-iteration, and adaptive tolerance-driven), generic over
+f32/f64/c64/c128, exposed through a matrix-free linear-operator
+protocol, and scaled out by compressing independent operator blocks
+data-parallel over a ``jax.sharding.Mesh``.
+
+The flat re-export below mirrors the reference's prelude-style API
+surface (rusty-compression ``lib.rs:90-102``).
+"""
+
+from .linop import DenseOperator, LinearOperator, as_linear_operator
+from .models.compression import Adaptive, CompressionType, Rank
+from .models.interp_decomp import ColumnID, RowID, TwoSidedID
+from .models.qr import LQ, QR
+from .models.svd import SVD
+from .ops.pivoted_qr import pivoted_lq, pivoted_qr
+from .ops.svd import compute_svd
+from .sampling import (
+    HMT_TOL_FACTOR,
+    adaptive_range_finder,
+    max_col_norm,
+    sample_range_adaptive,
+    sample_range_by_rank,
+    sample_range_power_iteration,
+)
+from .utils.errors import (
+    CompressionError,
+    LayoutError,
+    LinalgError,
+    PivotedQRError,
+    RustyCompressionError,
+)
+from .utils.metrics import rel_diff_fro, rel_diff_l2
+from .utils.permutation import (
+    MatrixPermutationMode,
+    VectorPermutationMode,
+    apply_matrix_permutation,
+    apply_vector_permutation,
+    invert_permutation_vector,
+)
+from .utils.random_matrix import (
+    random_approximate_low_rank_matrix,
+    random_gaussian,
+    random_orthogonal_matrix,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # operators
+    "LinearOperator", "DenseOperator", "as_linear_operator",
+    # containers & conversions
+    "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
+    # compression config
+    "CompressionType", "Rank", "Adaptive",
+    # kernels
+    "pivoted_qr", "pivoted_lq", "compute_svd",
+    # sampling
+    "sample_range_by_rank", "sample_range_power_iteration",
+    "sample_range_adaptive", "adaptive_range_finder", "max_col_norm",
+    "HMT_TOL_FACTOR",
+    # utils
+    "rel_diff_fro", "rel_diff_l2",
+    "MatrixPermutationMode", "VectorPermutationMode",
+    "apply_matrix_permutation", "apply_vector_permutation",
+    "invert_permutation_vector",
+    "random_gaussian", "random_orthogonal_matrix",
+    "random_approximate_low_rank_matrix",
+    # errors
+    "RustyCompressionError", "CompressionError", "LinalgError",
+    "LayoutError", "PivotedQRError",
+]

@@ -1,0 +1,257 @@
+"""QR / LQ factorization containers and conversions.
+
+TPU-native equivalent of rusty-compression ``src/qr.rs``: frozen
+dataclasses registered as pytrees (so they pass through ``jit`` /
+``vmap`` / ``shard_map``), with the reference's full conversion graph —
+compress by rank/tolerance, QR→ColumnID, LQ→RowID, and the randomized
+``compute_from_range_estimate`` entry point.
+
+Pivot convention (qr.rs:31-40): ``ind[j] = k`` means column ``j`` of
+``q @ r`` equals column ``k`` of the original matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..linop import as_linear_operator
+from ..ops.pivoted_qr import pivoted_lq, pivoted_qr
+from ..ops.triangular import solve_upper_triangular
+from ..utils.dtypes import herm
+from ..utils.errors import CompressionError
+from ..utils.permutation import MatrixPermutationMode, apply_matrix_permutation
+from .compression import Adaptive, CompressionType, Rank
+from .interp_decomp import ColumnID, RowID
+
+__all__ = ["QR", "LQ"]
+
+
+def _tolerance_position(diag_ratios, tol: float):
+    """Index of the first entry with ratio < tol, or None.
+
+    Mirrors the scan of qr.rs:190-194 / svd.rs:92-95. Host-boundary
+    operation (concretizes device values).
+    """
+    if not (0.0 <= tol < 1.0):
+        raise ValueError("Require 0 <= tol < 1.0")
+    below = np.asarray(diag_ratios) < tol
+    idx = np.argmax(below)
+    if not below[idx]:
+        return None
+    return int(idx)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class QR:
+    """Pivoted QR decomposition ``A P = Q R`` (qr.rs:31-40).
+
+    q: (m, k) orthonormal columns; r: (k, n) upper triangular over the
+    permuted columns; ind: (n,) int32 pivot vector.
+    """
+
+    q: jnp.ndarray
+    r: jnp.ndarray
+    ind: jnp.ndarray
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.q, self.r, self.ind), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- shape queries (qr.rs:144-157) --------------------------------------
+    @property
+    def nrows(self) -> int:
+        return self.q.shape[-2]
+
+    @property
+    def ncols(self) -> int:
+        return self.r.shape[-1]
+
+    @property
+    def rank(self) -> int:
+        return self.q.shape[-1]
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def compute_from(cls, a, max_rank=None, **kwargs) -> "QR":
+        """Pivoted QR of a dense matrix (qr.rs:251-253)."""
+        q, r, ind = pivoted_qr(a, max_rank=max_rank, **kwargs)
+        return cls(q, r, ind)
+
+    @classmethod
+    def compute_from_range_estimate(cls, range_, op, **kwargs) -> "QR":
+        """Randomized QR from an orthonormal range estimate (qr.rs:311-323).
+
+        Forms the small sketch ``B = (A^H Q)^H`` (k, n), factorizes it, and
+        lifts Q back: the dense factorization only ever touches the sketch.
+        """
+        op = as_linear_operator(op)
+        range_ = jnp.asarray(range_)
+        b = herm(op.conj_matmat(range_))
+        qr_b = cls.compute_from(b, **kwargs)
+        return cls(range_ @ qr_b.q, qr_b.r, qr_b.ind)
+
+    # -- conversions ----------------------------------------------------------
+    def to_mat(self):
+        """Reassemble the (approximate) original matrix:
+        ``Q @ (R with inverse column permutation)`` (qr.rs:159-166)."""
+        r_unperm = apply_matrix_permutation(
+            self.r, self.ind, MatrixPermutationMode.COLINV)
+        return self.q @ r_unperm
+
+    def compress_qr_rank(self, max_rank: int) -> "QR":
+        """Keep the leading ``max_rank`` columns of Q / rows of R
+        (clamped to the available rank; qr.rs:169-184)."""
+        max_rank = min(int(max_rank), self.rank)
+        return QR(self.q[:, :max_rank], self.r[:max_rank, :], self.ind)
+
+    def compress_qr_tolerance(self, tol: float) -> "QR":
+        """Truncate before the first ``|r_ii / r_00| < tol``; raise
+        ``CompressionError`` if the diagonal never drops below ``tol``
+        (qr.rs:186-200)."""
+        d = jnp.diagonal(self.r)
+        ratios = jnp.abs(d / d[0])
+        pos = _tolerance_position(ratios, tol)
+        if pos is None:
+            raise CompressionError(
+                f"Could not compress to relative tolerance {tol!r}")
+        return self.compress_qr_rank(pos)
+
+    def compress(self, compression_type: CompressionType) -> "QR":
+        """Dispatch on the compression selector (qr.rs:202-208)."""
+        if isinstance(compression_type, Adaptive):
+            return self.compress_qr_tolerance(compression_type.tol)
+        if isinstance(compression_type, Rank):
+            return self.compress_qr_rank(compression_type.rank)
+        raise TypeError(f"unknown compression type: {compression_type!r}")
+
+    def column_id(self) -> ColumnID:
+        """Column interpolative decomposition from this QR (qr.rs:270-309).
+
+        Full-rank case: ``C = Q R`` and ``Z`` is the inverse-permuted
+        identity (exact). Rank-deficient case:
+        ``Z = [I | R11^{-1} R12]`` (one batched triangular solve instead of
+        the reference's per-column loop), inverse-permuted; ``C = Q R11``.
+        """
+        rank, ncols = self.rank, self.ncols
+        if rank == ncols:
+            c = self.q @ self.r
+            z = apply_matrix_permutation(
+                jnp.eye(rank, dtype=self.r.dtype), self.ind,
+                MatrixPermutationMode.COLINV)
+            return ColumnID(c, z, self.ind)
+        r11 = self.r[:, :rank]
+        c = self.q @ r11
+        z_tail = solve_upper_triangular(r11, self.r[:, rank:])
+        z = jnp.concatenate(
+            [jnp.eye(rank, dtype=self.r.dtype), z_tail], axis=1)
+        z = apply_matrix_permutation(
+            z, self.ind, MatrixPermutationMode.COLINV)
+        return ColumnID(c, z, self.ind)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class LQ:
+    """Pivoted LQ decomposition ``P A = L Q`` (qr.rs:42-51).
+
+    l: (m, k) lower triangular over permuted rows; q: (k, n) orthonormal
+    rows; ind: (m,) int32 pivot vector (``ind[j] = k``: row ``j`` of
+    ``L Q`` equals row ``k`` of the original).
+    """
+
+    l: jnp.ndarray
+    q: jnp.ndarray
+    ind: jnp.ndarray
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return (self.l, self.q, self.ind), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- shape queries (qr.rs:57-70) -----------------------------------------
+    @property
+    def nrows(self) -> int:
+        return self.l.shape[-2]
+
+    @property
+    def ncols(self) -> int:
+        return self.q.shape[-1]
+
+    @property
+    def rank(self) -> int:
+        return self.q.shape[-2]
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def compute_from(cls, a, max_rank=None, **kwargs) -> "LQ":
+        """Pivoted LQ = (pivoted QR of A^H)^H (qr.rs:354-362)."""
+        l, q, ind = pivoted_lq(a, max_rank=max_rank, **kwargs)
+        return cls(l, q, ind)
+
+    # -- conversions ----------------------------------------------------------
+    def to_mat(self):
+        """``(L with inverse row permutation) @ Q`` (qr.rs:72-77)."""
+        l_unperm = apply_matrix_permutation(
+            self.l, self.ind, MatrixPermutationMode.ROWINV)
+        return l_unperm @ self.q
+
+    def compress_lq_rank(self, max_rank: int) -> "LQ":
+        """Keep the leading ``max_rank`` rows of Q / columns of L
+        (qr.rs:80-95)."""
+        max_rank = min(int(max_rank), self.rank)
+        return LQ(self.l[:, :max_rank], self.q[:max_rank, :], self.ind)
+
+    def compress_lq_tolerance(self, tol: float) -> "LQ":
+        """Mirror of ``QR.compress_qr_tolerance`` on the L diagonal
+        (qr.rs:97-111)."""
+        d = jnp.diagonal(self.l)
+        ratios = jnp.abs(d / d[0])
+        pos = _tolerance_position(ratios, tol)
+        if pos is None:
+            raise CompressionError(
+                f"Could not compress to relative tolerance {tol!r}")
+        return self.compress_lq_rank(pos)
+
+    def compress(self, compression_type: CompressionType) -> "LQ":
+        """Dispatch on the compression selector (qr.rs:113-119)."""
+        if isinstance(compression_type, Adaptive):
+            return self.compress_lq_tolerance(compression_type.tol)
+        if isinstance(compression_type, Rank):
+            return self.compress_lq_rank(compression_type.rank)
+        raise TypeError(f"unknown compression type: {compression_type!r}")
+
+    def row_id(self) -> RowID:
+        """Row interpolative decomposition from this LQ (qr.rs:363-403).
+
+        Full-rank: ``X`` = inverse-row-permuted identity, ``R = L Q``.
+        Rank-deficient: ``X = [I; L21 L11^{-1}]`` via one batched
+        right-hand triangular solve, inverse-row-permuted; ``R = L11 Q``.
+        """
+        rank, nrows = self.rank, self.nrows
+        if rank == nrows:
+            x = apply_matrix_permutation(
+                jnp.eye(rank, dtype=self.l.dtype), self.ind,
+                MatrixPermutationMode.ROWINV)
+            return RowID(x, self.l @ self.q, self.ind)
+        l11 = self.l[:rank, :]
+        r = l11 @ self.q
+        # X2 = L21 @ L11^{-1}: right-hand-side lower-triangular solve.
+        x_tail = jax.lax.linalg.triangular_solve(
+            l11, self.l[rank:, :], left_side=False, lower=True)
+        x = jnp.concatenate(
+            [jnp.eye(rank, dtype=self.l.dtype), x_tail], axis=0)
+        x = apply_matrix_permutation(
+            x, self.ind, MatrixPermutationMode.ROWINV)
+        return RowID(x, r, self.ind)

@@ -1,0 +1,199 @@
+"""Randomized range sampling.
+
+TPU-native equivalent of rusty-compression ``src/random_sampling.rs``:
+
+* ``sample_range_by_rank`` — one Gaussian sketch GEMM + truncated
+  pivoted QR (random_sampling.rs:58-126).
+* ``sample_range_power_iteration`` — subspace (power) iteration with
+  per-step QR re-orthogonalization. This implements the *documented*
+  semantics (random_sampling.rs:74-81): each iteration refines the
+  previous iterate. (The reference implementation shadows its loop
+  variable at random_sampling.rs:150 so every iteration restarts from the
+  initial sketch — a bug SURVEY.md §2/#21 says not to reproduce.)
+* ``sample_range_adaptive`` — HMT-style blocked adaptive sampling
+  (random_sampling.rs:202-282) with the 10·sqrt(2/pi) probabilistic
+  tolerance factor, block Gram–Schmidt re-orthogonalization, and the
+  residual history output. On TPU the whole loop runs device-side as a
+  ``lax.while_loop`` over preallocated (m, max_rank) buffers with
+  residual-norm stopping — no host round-trips per block.
+
+All routines are matrix-free: they only touch the operator through
+``matmat`` / ``conj_matmat`` (the ``LinearOperator`` protocol).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .linop import DenseOperator, LinearOperator, as_linear_operator
+from .ops.pivoted_qr import pivoted_qr
+from .utils.dtypes import herm, real_dtype
+from .utils.random_matrix import random_gaussian
+
+__all__ = [
+    "max_col_norm",
+    "sample_range_by_rank",
+    "sample_range_power_iteration",
+    "sample_range_adaptive",
+    "adaptive_range_finder",
+]
+
+#: HMT probabilistic bound factor 10 * sqrt(2/pi)
+#: (Halko–Martinsson–Tropp §4.3; random_sampling.rs:229-234).
+HMT_TOL_FACTOR = 10.0 * math.sqrt(2.0 / math.pi)
+
+
+def max_col_norm(a):
+    """Maximum Euclidean column norm (random_sampling.rs:175-199)."""
+    return jnp.max(jnp.linalg.norm(jnp.asarray(a), axis=-2), axis=-1)
+
+
+def sample_range_by_rank(op, key, k: int, p: int = 5, **qr_kwargs):
+    """Orthonormal basis for the dominant rank-``k`` range of ``op``.
+
+    Sketch ``Y = A @ Omega`` with ``Omega`` Gaussian (n, k+p), pivoted-QR
+    the sketch, keep the first ``k`` Q columns (random_sampling.rs:103-119).
+    The oversampling ``p`` should stay small; p=5 is typical
+    (random_sampling.rs:63-65).
+    """
+    op = as_linear_operator(op)
+    omega = random_gaussian(key, (op.ncols, k + p), dtype=op.dtype)
+    y = op.matmat(omega)
+    q, _, _ = pivoted_qr(y, max_rank=min(k, *y.shape), **qr_kwargs)
+    return q
+
+
+def sample_range_power_iteration(op, key, k: int, p: int = 5,
+                                 it_count: int = 0, **qr_kwargs):
+    """Rank-``k`` range basis refined by ``it_count`` subspace iterations.
+
+    Per documented reference semantics (random_sampling.rs:74-98): apply
+    ``(A A^H)`` ``it_count`` times with a QR re-orthogonalization after
+    each half-step, then pivoted-QR the final iterate and keep ``k``
+    columns. ``it_count=0`` reduces to ``sample_range_by_rank``.
+    """
+    op = as_linear_operator(op)
+    omega = random_gaussian(key, (op.ncols, k + p), dtype=op.dtype)
+    y = op.matmat(omega)
+    for _ in range(it_count):
+        q, _ = jnp.linalg.qr(y, mode="reduced")
+        w, _ = jnp.linalg.qr(op.conj_matmat(q), mode="reduced")
+        y = op.matmat(w)
+    q, _, _ = pivoted_qr(y, max_rank=min(k, *y.shape), **qr_kwargs)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Adaptive sampling (device-side while loop)
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int):
+    """Device-side adaptive range finder.
+
+    Carries preallocated buffers ``q`` (m, max_iters*b) and ``b_mat``
+    (max_iters*b, n); each iteration appends exactly ``sample_size``
+    orthonormal columns (written via dynamic_update_slice) so every shape
+    stays static. Columns/rows beyond ``ncols`` are zero, which makes the
+    full-buffer GEMMs exact — the mask-and-pad discipline of SURVEY.md §7.
+    """
+    m, n = op.shape
+    dt = op.dtype
+    rdt = real_dtype(dt)
+    blk = sample_size
+    cap = max_iters * blk
+
+    tol_factor = jnp.asarray(HMT_TOL_FACTOR, dtype=rdt)
+    rel_tol = jnp.asarray(rel_tol, dtype=rdt)
+
+    key, k0 = jax.random.split(key)
+    y = op.matmat(random_gaussian(k0, (n, blk), dtype=dt))
+    # Randomized estimate of the operator norm from the first probe block
+    # (random_sampling.rs:241).
+    op_norm = tol_factor * max_col_norm(y)
+    safe_op_norm = jnp.where(op_norm > 0, op_norm, 1.0)
+
+    q0 = jnp.zeros((m, cap), dtype=dt)
+    b0 = jnp.zeros((cap, n), dtype=dt)
+    hist0 = jnp.zeros((max_iters,), dtype=rdt)
+    state = (key, y, q0, b0, jnp.int32(0), op_norm, hist0)
+
+    def cond(state):
+        _, _, _, _, it, max_norm, _ = state
+        return jnp.logical_and(max_norm / safe_op_norm >= rel_tol,
+                               it < max_iters)
+
+    def body(state):
+        key, y, q, b_mat, it, _, hist = state
+        ncols = it * blk
+        # Block Gram–Schmidt against the existing basis
+        # (random_sampling.rs:250-252); zero columns make this exact.
+        y = y - q @ (herm(q) @ y)
+        q_new, _ = jnp.linalg.qr(y, mode="reduced")
+        # Append rows (A^H Q_new)^H to B and columns Q_new to Q
+        # (random_sampling.rs:256-262).
+        b_new = herm(op.conj_matmat(q_new))
+        q = jax.lax.dynamic_update_slice(q, q_new, (0, ncols))
+        b_mat = jax.lax.dynamic_update_slice(b_mat, b_new, (ncols, 0))
+        # Fresh probe of the residual A - Q B (random_sampling.rs:265-266).
+        key, k1 = jax.random.split(key)
+        omega = random_gaussian(k1, (n, blk), dtype=dt)
+        y = op.matmat(omega) - q @ (b_mat @ omega)
+        max_norm = tol_factor * max_col_norm(y)
+        hist = hist.at[it].set(max_norm / safe_op_norm)
+        return key, y, q, b_mat, it + 1, max_norm, hist
+
+    key, y, q, b_mat, it, max_norm, hist = jax.lax.while_loop(
+        cond, body, state)
+    return q, b_mat, it * blk, it, hist
+
+
+_adaptive_loop_jit = jax.jit(
+    _adaptive_loop, static_argnames=("sample_size", "max_iters"))
+
+
+def adaptive_range_finder(op, key, rel_tol, sample_size: int,
+                          max_rank: int | None = None):
+    """Jittable adaptive range finder with padded outputs.
+
+    Returns ``(q_padded, b_padded, ncols, n_iters, history)`` where only
+    the first ``ncols`` columns of ``q_padded`` (and rows of ``b_padded``
+    = ``Q^H A``) are meaningful, and ``history[i]`` is the estimated
+    relative residual after ``(i+1) * sample_size`` columns. This is the
+    in-``jit`` building block; ``sample_range_adaptive`` is the host-level
+    API with reference semantics.
+    """
+    op = as_linear_operator(op)
+    if max_rank is None:
+        max_rank = min(op.shape)
+    max_iters = max(1, -(-int(max_rank) // int(sample_size)))
+    fn = _adaptive_loop_jit if isinstance(op, DenseOperator) else _adaptive_loop
+    return fn(op, key, rel_tol, int(sample_size), max_iters)
+
+
+def sample_range_adaptive(op, key, rel_tol: float, sample_size: int,
+                          max_rank: int | None = None):
+    """Adaptively sample the range of ``op`` to relative tolerance.
+
+    Reference semantics (random_sampling.rs:202-282): returns
+    ``(q, residuals)`` where ``q`` (m, rank) holds the orthonormalized
+    range columns actually accepted and ``residuals`` is the convergence
+    history ``[(rank, rel_res), ...]`` — the estimated relative residual
+    after each appended block. The error check is probabilistic (HMT
+    bound with factor 10·sqrt(2/pi)).
+
+    This is a host-boundary API (it concretizes the achieved rank to
+    slice the padded buffers); inside ``jit`` use
+    ``adaptive_range_finder`` and the mask-and-pad outputs.
+    """
+    q, _, ncols, n_iters, hist = adaptive_range_finder(
+        op, key, rel_tol, sample_size, max_rank)
+    ncols = int(ncols)
+    n_iters = int(n_iters)
+    residuals = [((i + 1) * int(sample_size), float(hist[i]))
+                 for i in range(n_iters)]
+    return q[:, :ncols], residuals

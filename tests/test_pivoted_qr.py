@@ -1,0 +1,147 @@
+"""Tests for the pivoted QR / LQ kernel.
+
+Oracle style mirrors the reference suite (pivoted_qr.rs:198-317):
+orthogonality of Q, per-column reconstruction identity against the pivot
+vector, plus RRQR-specific invariants (non-increasing |r_ii| for the
+sequential mode; near-optimal truncation error for the blocked mode).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rusty_compression_tpu as rc
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+SHAPES = [(100, 50), (50, 100)]  # thin and thick, as in the reference
+
+
+def check_invariants(a, q, r, ind, atol):
+    a = np.asarray(a)
+    q = np.asarray(q)
+    r = np.asarray(r)
+    ind = np.asarray(ind)
+    m, n = a.shape
+    k = q.shape[1]
+    # Q has orthonormal columns (pivoted_qr.rs:222-232).
+    np.testing.assert_allclose(
+        np.conjugate(q.T) @ q, np.eye(k), atol=atol)
+    # ind is a valid permutation of 0..n-1.
+    assert sorted(ind.tolist()) == list(range(n))
+    # R upper triangular.
+    np.testing.assert_array_equal(r, np.triu(r))
+    # Per-column identity (pivoted_qr.rs:236-242): (Q R)[:, j] == A[:, ind[j]]
+    # — exact for j < k; for trailing columns it is the projection, which
+    # matches A only when k == min(m, n) spans the range (k == m).
+    qr_prod = q @ r
+    ncheck = n if k == m else k
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(
+        qr_prod[:, :ncheck], a[:, ind[:ncheck]], atol=atol * scale * 10)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+class TestPivotedQRSequential:
+    def test_invariants(self, key, dtype, shape):
+        a = rc.random_gaussian(key, shape, dtype=dtype)
+        q, r, ind = rc.pivoted_qr(a, mode="gs")
+        atol = 1e-5 if np.dtype(q.dtype).itemsize <= 8 else 1e-12
+        check_invariants(a, q, r, ind, atol)
+        # Non-increasing |r_ii| (the contract tolerance-truncation relies
+        # on, qr.rs:6, enforced exactly by max-norm pivoting).
+        d = np.abs(np.diagonal(np.asarray(r)))
+        assert np.all(d[:-1] >= d[1:] - 1e-6 * d[0])
+
+    def test_lq_invariants(self, key, dtype, shape):
+        a = rc.random_gaussian(key, shape, dtype=dtype)
+        l, q, ind = rc.pivoted_lq(a, mode="gs")
+        atol = 1e-5 if np.dtype(q.dtype).itemsize <= 8 else 1e-12
+        l_, q_, ind_ = np.asarray(l), np.asarray(q), np.asarray(ind)
+        k = q_.shape[0]
+        # Q has orthonormal rows (pivoted_qr.rs:248-316 mirror).
+        np.testing.assert_allclose(
+            q_ @ np.conjugate(q_.T), np.eye(k), atol=atol)
+        # L lower triangular; row identity (L Q)[j, :] == A[ind[j], :].
+        np.testing.assert_array_equal(l_, np.tril(l_))
+        lq_prod = l_ @ q_
+        m, n = shape
+        ncheck = m if k == n else k
+        a_ = np.asarray(a)
+        scale = np.abs(a_).max()
+        np.testing.assert_allclose(
+            lq_prod[:ncheck, :], a_[ind_[:ncheck], :], atol=atol * scale * 10)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64, jnp.complex64,
+                                   jnp.complex128])
+class TestPivotedQRBlocked:
+    def test_invariants_large(self, key, dtype):
+        a = rc.random_gaussian(key, (300, 200), dtype=dtype)
+        q, r, ind = rc.pivoted_qr(a, mode="blocked", block_size=48)
+        atol = 2e-4 if np.dtype(q.dtype).itemsize <= 8 else 1e-11
+        check_invariants(a, q, r, ind, atol)
+
+    def test_rank_revealing_quality(self, key, dtype):
+        """Truncated blocked RRQR error must be within a small factor of
+        the optimal (SVD) rank-k error on a decaying-spectrum matrix."""
+        if jnp.dtype(dtype) in (jnp.float32, jnp.complex64):
+            sigma_min, k = 1e-4, 30
+        else:
+            sigma_min, k = 1e-10, 40
+        a = rc.random_approximate_low_rank_matrix(
+            key, (256, 192), 1.0, sigma_min, dtype=dtype)
+        q, r, ind = rc.pivoted_qr(a, max_rank=k, mode="blocked",
+                                  block_size=16)
+        a_np = np.asarray(a)
+        approx = np.asarray(q) @ np.asarray(r)
+        # Undo the permutation for comparison.
+        inv = np.argsort(np.asarray(ind))
+        err = np.linalg.norm(approx[:, inv] - a_np) / np.linalg.norm(a_np)
+        s = np.linalg.svd(a_np, compute_uv=False)
+        opt = np.sqrt(np.sum(s[k:] ** 2)) / np.linalg.norm(a_np)
+        assert err < 10 * opt + 1e-12, (err, opt)
+
+    def test_truncated_matches_gs_subspace(self, key, dtype):
+        """max_rank-truncated factorization: Q spans the dominant range."""
+        a = rc.random_approximate_low_rank_matrix(
+            key, (120, 80), 1.0, 1e-6, dtype=dtype)
+        q, r, ind = rc.pivoted_qr(a, max_rank=25, mode="blocked",
+                                  block_size=8)
+        assert q.shape == (120, 25)
+        assert r.shape == (25, 80)
+        # Projection error ~ sigma_26.
+        a_np = np.asarray(a)
+        q_np = np.asarray(q)
+        resid = a_np - q_np @ (np.conjugate(q_np.T) @ a_np)
+        rel = np.linalg.norm(resid) / np.linalg.norm(a_np)
+        s = np.linalg.svd(a_np, compute_uv=False)
+        assert rel < 20 * np.sqrt(np.sum(s[25:] ** 2)) / np.linalg.norm(a_np)
+
+
+class TestEdgeCases:
+    def test_rank_deficient(self, key):
+        """Exactly rank-deficient input: zero residual columns yield zero
+        Q columns (the _safe_inv guard), no NaNs."""
+        u = rc.random_gaussian(key, (40, 5), dtype=jnp.float64)
+        a = u @ u.T  # rank 5, 40x40
+        q, r, ind = rc.pivoted_qr(a, mode="gs")
+        assert np.all(np.isfinite(np.asarray(q)))
+        assert np.all(np.isfinite(np.asarray(r)))
+        d = np.abs(np.diagonal(np.asarray(r)))
+        assert d[5] < 1e-8 * d[0]
+        np.testing.assert_allclose(
+            np.asarray(q @ r)[:, np.argsort(np.asarray(ind))],
+            np.asarray(a), atol=1e-10)
+
+    def test_max_rank_gs(self, key):
+        a = rc.random_gaussian(key, (64, 32), dtype=jnp.float64)
+        q, r, ind = rc.pivoted_qr(a, max_rank=10, mode="gs")
+        assert q.shape == (64, 10) and r.shape == (10, 32)
+        assert ind.shape == (32,)
+
+    def test_square_full(self, key):
+        a = rc.random_gaussian(key, (32, 32), dtype=jnp.float64)
+        q, r, ind = rc.pivoted_qr(a)
+        np.testing.assert_allclose(
+            np.asarray(q @ r), np.asarray(a)[:, np.asarray(ind)], atol=1e-10)
