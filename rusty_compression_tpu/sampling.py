@@ -137,8 +137,9 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int):
         # Append rows (A^H Q_new)^H to B and columns Q_new to Q
         # (random_sampling.rs:256-262).
         b_new = herm(op.conj_matmat(q_new))
-        q = jax.lax.dynamic_update_slice(q, q_new, (0, ncols))
-        b_mat = jax.lax.dynamic_update_slice(b_mat, b_new, (ncols, 0))
+        zero = jnp.int32(0)
+        q = jax.lax.dynamic_update_slice(q, q_new, (zero, ncols))
+        b_mat = jax.lax.dynamic_update_slice(b_mat, b_new, (ncols, zero))
         # Fresh probe of the residual A - Q B (random_sampling.rs:265-266).
         key, k1 = jax.random.split(key)
         omega = random_gaussian(k1, (n, blk), dtype=dt)

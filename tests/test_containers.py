@@ -1,0 +1,227 @@
+"""Tests for factorization containers and the conversion graph.
+
+Mirrors the reference suites (SURVEY.md §4): QR compress by rank/tol
+(qr.rs:427-489), column/row ID with per-column/row exactness
+(qr.rs:491-582), SVD compress + SVD→QR roundtrip (svd.rs:203-320),
+two-sided ID with entrywise skeleton checks
+(col_interp_decomp.rs:176-241, row_interp_decomp.rs:176-235) — over the
+4-dtype × thin/thick matrix with the geomspace-spectrum fixture.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rusty_compression_tpu as rc
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+SHAPES = [(100, 50), (50, 100)]
+
+
+def _sigma_min(dtype):
+    # f32 can't resolve 1e-10; use a spectrum the dtype can represent.
+    return 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-10
+
+
+
+def _expected_tail(shape, dtype, rank):
+    """Relative Frobenius error of the optimal rank-`rank` truncation of
+    the geomspace-spectrum fixture."""
+    k = min(shape)
+    s = np.geomspace(1.0, _sigma_min(dtype), k)
+    return float(np.sqrt((s[rank:] ** 2).sum() / (s ** 2).sum()))
+
+def _fixture(key, shape, dtype):
+    return rc.random_approximate_low_rank_matrix(
+        key, shape, 1.0, _sigma_min(dtype), dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+class TestQRCompress:
+    def test_compress_rank(self, key, dtype, shape):
+        """Dims match the rank; reconstruction error ~ sigma_{rank+1}
+        (qr.rs:427-457)."""
+        a = _fixture(key, shape, dtype)
+        rank = 20
+        qr = rc.QR.compute_from(a).compress(rc.CompressionType.RANK(rank))
+        assert qr.q.shape == (shape[0], rank)
+        assert qr.r.shape == (rank, shape[1])
+        bound = 5 * _expected_tail(shape, dtype, rank) + 10 * _sigma_min(dtype)
+        assert float(rc.rel_diff_fro(qr.to_mat(), a)) < bound
+
+    def test_compress_tolerance(self, key, dtype, shape):
+        """rel error < 5*tol and achieved rank < min(m, n)
+        (qr.rs:459-489)."""
+        a = _fixture(key, shape, dtype)
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        qr = rc.QR.compute_from(a).compress(rc.CompressionType.ADAPTIVE(tol))
+        assert float(rc.rel_diff_fro(qr.to_mat(), a)) < 5 * tol
+        assert qr.rank < min(shape)
+
+    def test_tolerance_unreachable_raises(self, key, dtype, shape):
+        """Spectrum never below tol => CompressionError, not silent
+        full rank (qr.rs:196-199)."""
+        a = rc.random_gaussian(key, shape, dtype=dtype)  # flat spectrum
+        qr = rc.QR.compute_from(a)
+        with pytest.raises(rc.CompressionError):
+            qr.compress_qr_tolerance(1e-12)
+
+    def test_lq_compress(self, key, dtype, shape):
+        a = _fixture(key, shape, dtype)
+        rank = 20
+        lq = rc.LQ.compute_from(a).compress(rc.CompressionType.RANK(rank))
+        assert lq.l.shape == (shape[0], rank)
+        assert lq.q.shape == (rank, shape[1])
+        bound = 5 * _expected_tail(shape, dtype, rank) + 10 * _sigma_min(dtype)
+        assert float(rc.rel_diff_fro(lq.to_mat(), a)) < bound
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+class TestColumnRowID:
+    def test_column_id(self, key, dtype, shape):
+        """rel error < 5*tol; per-column identity: C[:, i] equals the
+        pivot column of A for i < rank (qr.rs:491-531)."""
+        a = _fixture(key, shape, dtype)
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        cid = (rc.QR.compute_from(a)
+               .compress(rc.CompressionType.ADAPTIVE(tol))
+               .column_id())
+        assert float(rc.rel_diff_fro(cid.to_mat(), a)) < 5 * tol
+        a_np = np.asarray(a)
+        c_np = np.asarray(cid.c)
+        ind = np.asarray(cid.col_ind)
+        for i in range(cid.rank):
+            np.testing.assert_allclose(
+                c_np[:, i], a_np[:, ind[i]],
+                atol=10 * tol * np.abs(a_np).max())
+
+    def test_row_id(self, key, dtype, shape):
+        """Mirror on rows (qr.rs:532-582)."""
+        a = _fixture(key, shape, dtype)
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        rid = (rc.LQ.compute_from(a)
+               .compress(rc.CompressionType.ADAPTIVE(tol))
+               .row_id())
+        assert float(rc.rel_diff_fro(rid.to_mat(), a)) < 5 * tol
+        a_np = np.asarray(a)
+        r_np = np.asarray(rid.r)
+        ind = np.asarray(rid.row_ind)
+        for i in range(rid.rank):
+            np.testing.assert_allclose(
+                r_np[i, :], a_np[ind[i], :],
+                atol=10 * tol * np.abs(a_np).max())
+
+    def test_column_id_full_rank_exact(self, key, dtype, shape):
+        """Uncompressed QR -> column_id is exact: C Z == A
+        (qr.rs:274-281)."""
+        a = rc.random_gaussian(key, (24, 24), dtype=dtype)
+        cid = rc.QR.compute_from(a).column_id()
+        atol = 1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-10
+        np.testing.assert_allclose(
+            np.asarray(cid.to_mat()), np.asarray(a), atol=atol)
+
+    def test_factored_apply(self, key, dtype, shape):
+        """Apply through the factored form matches dense to_mat @ x
+        (col_interp_decomp.rs:134-154)."""
+        a = _fixture(key, shape, dtype)
+        cid = (rc.QR.compute_from(a)
+               .compress(rc.CompressionType.RANK(15)).column_id())
+        x = rc.random_gaussian(jnp.asarray(key), (shape[1], 3), dtype=dtype)
+        np.testing.assert_allclose(
+            np.asarray(cid.apply(x)), np.asarray(cid.to_mat() @ x),
+            atol=1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-10)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+class TestTwoSidedID:
+    def _check(self, a, tsid, tol):
+        """Oracle of col_interp_decomp.rs:176-241: reconstruction, X is
+        square rank x rank, and X entrywise equals the skeleton submatrix
+        A[row_ind, col_ind]."""
+        assert float(rc.rel_diff_fro(tsid.to_mat(), a)) < 5 * tol
+        k = tsid.rank
+        assert tsid.x.shape == (k, k)
+        a_np = np.asarray(a)
+        x_np = np.asarray(tsid.x)
+        rind = np.asarray(tsid.row_ind)[:k]
+        cind = np.asarray(tsid.col_ind)[:k]
+        skel = a_np[np.ix_(rind, cind)]
+        np.testing.assert_allclose(
+            x_np, skel, atol=10 * tol * np.abs(skel).max())
+
+    def test_via_column_id(self, key, dtype, shape):
+        a = _fixture(key, shape, dtype)
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        tsid = (rc.QR.compute_from(a)
+                .compress(rc.CompressionType.ADAPTIVE(tol))
+                .column_id().two_sided_id())
+        self._check(a, tsid, tol)
+
+    def test_via_row_id(self, key, dtype, shape):
+        a = _fixture(key, shape, dtype)
+        tol = 5e-4 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        tsid = (rc.LQ.compute_from(a)
+                .compress(rc.CompressionType.ADAPTIVE(tol))
+                .row_id().two_sided_id())
+        self._check(a, tsid, tol)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+class TestSVD:
+    def test_compress_rank(self, key, dtype, shape):
+        a = _fixture(key, shape, dtype)
+        svd = rc.SVD.compute_from(a).compress(rc.CompressionType.RANK(20))
+        assert svd.u.shape == (shape[0], 20)
+        assert svd.vt.shape == (20, shape[1])
+        bound = 2 * _expected_tail(shape, dtype, 20) + 10 * _sigma_min(dtype)
+        assert float(rc.rel_diff_fro(svd.to_mat(), a)) < bound
+
+    def test_compress_tolerance(self, key, dtype, shape):
+        a = _fixture(key, shape, dtype)
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        svd = rc.SVD.compute_from(a).compress(rc.CompressionType.ADAPTIVE(tol))
+        assert float(rc.rel_diff_fro(svd.to_mat(), a)) < 5 * tol
+
+    def test_tolerance_unreachable_raises(self, key, dtype, shape):
+        a = rc.random_gaussian(key, shape, dtype=dtype)
+        with pytest.raises(rc.CompressionError):
+            rc.SVD.compute_from(a).compress_svd_tolerance(1e-14)
+
+    def test_to_qr_roundtrip(self, key, dtype, shape):
+        """SVD -> QR -> to_mat reproduces A (svd.rs:203-298):
+        1e-5 (f32) / 1e-12 (f64)."""
+        a = _fixture(key, shape, dtype)
+        qr = rc.SVD.compute_from(a).to_qr()
+        tol = 1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-11
+        assert float(rc.rel_diff_fro(qr.to_mat(), a)) < tol
+
+
+class TestPytreeIntegration:
+    """Containers must pass through jit/vmap (the batched-block path)."""
+
+    def test_qr_through_jit(self, key):
+        import jax
+
+        a = rc.random_gaussian(key, (32, 16), dtype=jnp.float64)
+
+        @jax.jit
+        def roundtrip(qr: rc.QR):
+            return qr.to_mat()
+
+        qr = rc.QR.compute_from(a)
+        np.testing.assert_allclose(
+            np.asarray(roundtrip(qr)), np.asarray(a), atol=1e-10)
+
+    def test_svd_vmap(self, key):
+        import jax
+
+        blocks = rc.random_gaussian(key, (4, 24, 16), dtype=jnp.float64)
+        svds = jax.vmap(lambda b: rc.SVD.compute_from(b))(blocks)
+        assert svds.u.shape == (4, 24, 16)
+        recon = jax.vmap(lambda s: s.to_mat())(svds)
+        np.testing.assert_allclose(
+            np.asarray(recon), np.asarray(blocks), atol=1e-10)

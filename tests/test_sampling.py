@@ -1,0 +1,198 @@
+"""Tests for randomized range sampling.
+
+Covers the three samplers of random_sampling.rs (fixed-rank,
+power-iteration with corrected semantics, adaptive) plus the
+sketch-then-factorize entry points (qr.rs:311-323, svd.rs:171-183), the
+max-col-norm estimator, determinism under fixed keys, and the adaptive
+sampler's residual-history contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rusty_compression_tpu as rc
+
+DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
+
+
+def _sigma_min(dtype):
+    return 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-10
+
+
+def _proj_err(a, q):
+    a, q = np.asarray(a), np.asarray(q)
+    resid = a - q @ (np.conjugate(q.T) @ a)
+    return np.linalg.norm(resid) / np.linalg.norm(a)
+
+
+class TestMaxColNorm:
+    def test_value(self):
+        a = jnp.array([[3.0, 0.0], [4.0, 1.0]])
+        assert float(rc.max_col_norm(a)) == pytest.approx(5.0)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+class TestSampleRangeByRank:
+    def test_orthonormal_and_accurate(self, key, dtype):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (120, 80), 1.0, _sigma_min(dtype), dtype=dtype)
+        q = rc.sample_range_by_rank(a, jax.random.key(7), k=30, p=5)
+        assert q.shape == (120, 30)
+        atol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+        np.testing.assert_allclose(
+            np.asarray(jnp.conjugate(q.T) @ q), np.eye(30), atol=atol)
+        # sigma_31 of the fixture bounds the optimal projection error.
+        s = np.geomspace(1.0, _sigma_min(dtype), 80)
+        assert _proj_err(a, q) < 50 * s[30]
+
+    def test_deterministic(self, key, dtype):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (60, 40), 1.0, _sigma_min(dtype), dtype=dtype)
+        q1 = rc.sample_range_by_rank(a, jax.random.key(3), k=10)
+        q2 = rc.sample_range_by_rank(a, jax.random.key(3), k=10)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+class TestPowerIteration:
+    def test_improves_slow_spectrum(self, key, dtype):
+        """On a slowly decaying spectrum, subspace iteration must beat the
+        plain sketch (the corrected semantics of random_sampling.rs:74-81
+        — the reference's shadowed-variable version would show no
+        improvement with it_count)."""
+        m, n, k = 150, 150, 10
+        ku, kv = jax.random.split(key)
+        u = rc.random_orthogonal_matrix(ku, (m, n), dtype=dtype)
+        vt = rc.random_orthogonal_matrix(kv, (n, n), dtype=dtype)
+        s = jnp.asarray(1.0 / np.arange(1, n + 1))  # slow 1/i decay
+        a = (u * s.astype(u.dtype)[None, :]) @ vt
+
+        errs = []
+        for it in (0, 2, 4):
+            q = rc.sample_range_power_iteration(
+                a, jax.random.key(11), k=k, p=5, it_count=it)
+            errs.append(_proj_err(a, q))
+        assert errs[1] < errs[0]
+        assert errs[2] <= errs[1] * 1.05
+        # With q=4 the error should approach the optimal sigma_{k+1} tail.
+        opt = float(np.sqrt(np.sum(np.asarray(s[k:]) ** 2))
+                    / np.linalg.norm(np.asarray(s)))
+        assert errs[2] < 1.6 * opt
+
+    def test_zero_iters_matches_by_rank(self, key, dtype):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (50, 40), 1.0, 1e-8, dtype=dtype)
+        q0 = rc.sample_range_by_rank(a, jax.random.key(5), k=8, p=5)
+        q1 = rc.sample_range_power_iteration(
+            a, jax.random.key(5), k=8, p=5, it_count=0)
+        np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-12)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+class TestAdaptiveSampling:
+    def test_reaches_tolerance(self, key, dtype):
+        """Mirror of examples/adaptive_sampling.rs: estimated residual
+        history decreases below tol and the true projection error is
+        comparable (the estimate is probabilistic)."""
+        rel_tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        a = rc.random_approximate_low_rank_matrix(
+            key, (200, 100), 1.0, _sigma_min(dtype), dtype=dtype)
+        q, residuals = rc.sample_range_adaptive(
+            a, jax.random.key(13), rel_tol, sample_size=10)
+        assert q.shape[0] == 200
+        assert q.shape[1] == residuals[-1][0]
+        # History: ranks increase by sample_size; final estimate < tol.
+        ranks = [r for r, _ in residuals]
+        assert ranks == [10 * (i + 1) for i in range(len(ranks))]
+        assert residuals[-1][1] < rel_tol
+        # True residual within an order of magnitude of the estimate.
+        assert _proj_err(a, q) < 10 * rel_tol
+        # Q orthonormal.
+        k = q.shape[1]
+        atol = 1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-12
+        np.testing.assert_allclose(
+            np.asarray(jnp.conjugate(q.T) @ q), np.eye(k), atol=atol)
+
+    def test_history_is_decreasing(self, key, dtype):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (150, 90), 1.0, _sigma_min(dtype), dtype=dtype)
+        _, residuals = rc.sample_range_adaptive(
+            a, jax.random.key(17), 1e-4, sample_size=8)
+        vals = [v for _, v in residuals]
+        assert all(b < a_ * 2.0 for a_, b in zip(vals, vals[1:]))
+        assert vals[-1] < 1e-4
+
+
+class TestRangeEstimateFactorizations:
+    @pytest.mark.parametrize("dtype", DTYPES)
+    def test_qr_from_range_estimate(self, key, dtype):
+        """Stack 3.4 of SURVEY.md: sketch-then-factorize QR."""
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        a = rc.random_approximate_low_rank_matrix(
+            key, (200, 100), 1.0, _sigma_min(dtype), dtype=dtype)
+        q, _ = rc.sample_range_adaptive(
+            a, jax.random.key(19), tol, sample_size=10)
+        qr = rc.QR.compute_from_range_estimate(q, a)
+        assert qr.nrows == 200 and qr.ncols == 100
+        assert float(rc.rel_diff_fro(qr.to_mat(), a)) < 10 * tol
+
+    @pytest.mark.parametrize("dtype", DTYPES)
+    def test_svd_from_range_estimate(self, key, dtype):
+        tol = 1e-3 if np.dtype(dtype).itemsize <= 8 else 1e-5
+        a = rc.random_approximate_low_rank_matrix(
+            key, (200, 100), 1.0, _sigma_min(dtype), dtype=dtype)
+        q = rc.sample_range_by_rank(a, jax.random.key(23), k=60, p=5)
+        svd = rc.SVD.compute_from_range_estimate(q, a)
+        assert svd.nrows == 200 and svd.ncols == 100
+        # Singular values of the fixture are reproduced to the sketch
+        # accuracy for the dominant part of the spectrum.
+        s_true = np.geomspace(1.0, _sigma_min(dtype), 100)
+        np.testing.assert_allclose(
+            np.asarray(svd.s[:20]), s_true[:20], rtol=1e-2)
+        assert float(rc.rel_diff_fro(svd.to_mat(), a)) < 100 * s_true[60]
+
+    def test_matrix_free_end_to_end(self, key):
+        """Full randomized pipeline through an operator that never
+        materializes its matrix (the matrix-free contract of
+        random_sampling.rs:102-222)."""
+        n = 64
+        diag = jnp.geomspace(1.0, 1e-9, n)
+
+        class DiagOp(rc.LinearOperator):
+            @property
+            def shape(self):
+                return (n, n)
+
+            @property
+            def dtype(self):
+                return jnp.float64
+
+            def matmat(self, x):
+                return diag[:, None] * x
+
+            def conj_matmat(self, x):
+                return diag[:, None] * x
+
+        op = DiagOp()
+        q, residuals = rc.sample_range_adaptive(
+            op, jax.random.key(29), 1e-6, sample_size=4)
+        assert residuals[-1][1] < 1e-6
+        svd = rc.SVD.compute_from_range_estimate(q, op)
+        np.testing.assert_allclose(
+            np.asarray(svd.s[:10]), np.asarray(diag[:10]), rtol=1e-6)
+
+    def test_adaptive_range_finder_jittable(self, key):
+        """The padded adaptive range finder must be callable under jit
+        with a DenseOperator pytree."""
+        a = rc.random_approximate_low_rank_matrix(
+            key, (80, 60), 1.0, 1e-8, dtype=jnp.float64)
+        op = rc.DenseOperator(a)
+        q_pad, b_pad, ncols, n_iters, hist = rc.adaptive_range_finder(
+            op, jax.random.key(31), 1e-5, sample_size=8)
+        assert q_pad.shape == (80, 64)  # padded to ceil(60/8)*8
+        assert int(ncols) == int(n_iters) * 8
+        # Padded tail columns are zero.
+        np.testing.assert_array_equal(
+            np.asarray(q_pad[:, int(ncols):]), 0.0)
