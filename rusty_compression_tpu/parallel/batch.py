@@ -1,0 +1,137 @@
+"""Batched block compression — ``vmap`` over same-shape operator blocks.
+
+The reference library (rusty-compression) compresses one matrix at a
+time in a single thread. The TPU-native scale-out story (SURVEY.md §7,
+layer B5) is *block data-parallelism*: many independent operator blocks
+(e.g. the off-diagonal blocks of an H-matrix) compressed concurrently.
+The first level of that hierarchy is on-chip batching: a stack of
+same-shape blocks goes through one ``vmap``-ed, ``jit``-ed pipeline, so
+the MXU sees one big batched GEMM stream instead of many small ones.
+
+All batched entry points take a leading ``(B, m, n)`` block stack plus a
+single PRNG key (split per block — every block gets an independent
+sketch) and return factor containers whose leaves carry the leading
+batch axis. Fixed-rank paths only: static output shapes are what make
+batching (and sharding, see ``parallel.mesh``) compile once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.interp_decomp import ColumnID, RowID, TwoSidedID
+from ..models.qr import LQ, QR
+from ..models.svd import SVD
+from ..sampling import sample_range_power_iteration
+from ..utils.dtypes import herm
+from ..utils.metrics import rel_diff_fro
+
+__all__ = [
+    "rsvd_block",
+    "column_id_block",
+    "row_id_block",
+    "two_sided_id_block",
+    "batched_rsvd",
+    "batched_column_id",
+    "batched_row_id",
+    "batched_two_sided_id",
+    "batched_rel_diff_fro",
+]
+
+
+# ---------------------------------------------------------------------------
+# Single-block fixed-rank pipelines (the vmap bodies)
+# ---------------------------------------------------------------------------
+
+
+def rsvd_block(a, key, rank: int, oversample: int = 5,
+               power_iters: int = 0, **qr_kwargs) -> SVD:
+    """Fixed-rank randomized SVD of one dense block.
+
+    Sketch-then-factorize (random_sampling.rs:58-126 feeding
+    svd.rs:171-183): range estimate by (power-iterated) Gaussian
+    sketching, then SVD of the small ``(k, n)`` projection, truncated to
+    ``rank``. Jit/vmap-traceable; all shapes static.
+    """
+    q = sample_range_power_iteration(a, key, rank, oversample,
+                                     power_iters, **qr_kwargs)
+    svd = SVD.compute_from_range_estimate(q, a)
+    return svd.compress_svd_rank(rank)
+
+
+def column_id_block(a, key, rank: int, **qr_kwargs) -> ColumnID:
+    """Fixed-rank column interpolative decomposition of one block.
+
+    Truncated pivoted QR (``max_rank=rank`` — the cheap path: the
+    factorization itself stops at ``rank`` steps) followed by the
+    rank-deficient ``column_id`` conversion (qr.rs:282-308). ``key``
+    seeds the blocked RRQR's pivot sketch.
+    """
+    qr = QR.compute_from(a, max_rank=rank, key=key, **qr_kwargs)
+    return qr.column_id()
+
+
+def row_id_block(a, key, rank: int, **qr_kwargs) -> RowID:
+    """Fixed-rank row interpolative decomposition of one block
+    (qr.rs:363-403 through the truncated pivoted LQ)."""
+    lq = LQ.compute_from(a, max_rank=rank, key=key, **qr_kwargs)
+    return lq.row_id()
+
+
+def two_sided_id_block(a, key, rank: int, **qr_kwargs) -> TwoSidedID:
+    """Fixed-rank two-sided interpolative decomposition of one block
+    (col_interp_decomp.rs:116-130 route: QR → ColumnID → TwoSidedID)."""
+    return column_id_block(a, key, rank, **qr_kwargs).two_sided_id()
+
+
+# ---------------------------------------------------------------------------
+# Batched (vmap) entry points
+# ---------------------------------------------------------------------------
+
+
+def _batched(block_fn, blocks, key, rank, static_kwargs):
+    blocks = jnp.asarray(blocks)
+    if blocks.ndim != 3:
+        raise ValueError(
+            f"expected a (B, m, n) block stack, got shape {blocks.shape}")
+    keys = jax.random.split(key, blocks.shape[0])
+    fn = functools.partial(block_fn, rank=rank, **static_kwargs)
+    return jax.vmap(fn)(blocks, keys)
+
+
+def batched_rsvd(blocks, key, rank: int, oversample: int = 5,
+                 power_iters: int = 0, **qr_kwargs) -> SVD:
+    """Randomized SVD of a ``(B, m, n)`` block stack; one compiled
+    pipeline, per-block independent sketches. Returns an ``SVD`` whose
+    leaves have a leading batch axis (u: (B, m, k), s: (B, k),
+    vt: (B, k, n))."""
+    return _batched(rsvd_block, blocks, key, rank,
+                    dict(oversample=oversample, power_iters=power_iters,
+                         **qr_kwargs))
+
+
+def batched_column_id(blocks, key, rank: int, **qr_kwargs) -> ColumnID:
+    """Column ID of a block stack (leaves carry a leading batch axis)."""
+    return _batched(column_id_block, blocks, key, rank, qr_kwargs)
+
+
+def batched_row_id(blocks, key, rank: int, **qr_kwargs) -> RowID:
+    """Row ID of a block stack (leaves carry a leading batch axis)."""
+    return _batched(row_id_block, blocks, key, rank, qr_kwargs)
+
+
+def batched_two_sided_id(blocks, key, rank: int, **qr_kwargs) -> TwoSidedID:
+    """Two-sided ID of a block stack (leaves carry a leading batch axis)."""
+    return _batched(two_sided_id_block, blocks, key, rank, qr_kwargs)
+
+
+def batched_rel_diff_fro(factors, blocks):
+    """Per-block relative Frobenius reconstruction error (B,).
+
+    ``factors`` is any batched container with a ``to_mat`` method.
+    """
+    recon = jax.vmap(type(factors).to_mat)(factors)
+    return rel_diff_fro(recon, jnp.asarray(blocks))

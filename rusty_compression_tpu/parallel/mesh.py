@@ -1,0 +1,128 @@
+"""Device-mesh data parallelism for block compression.
+
+Second level of the scale-out hierarchy (SURVEY.md §2 "Parallelism /
+distributed strategies", §7 layer B5): a stack of independent operator
+blocks is sharded over the ``"blocks"`` axis of a ``jax.sharding.Mesh``
+and compressed SPMD — each device runs the same vmapped pipeline on its
+local shard, with zero inter-device communication in the compute path
+(block compressions are independent; collectives only appear if the
+caller gathers factors or aggregates metrics).
+
+The reference has no distributed layer at all (single-threaded Rust +
+LAPACK); this module is the TPU-native replacement for "run the library
+once per block on a cluster": one ``jit``, sharding propagated by XLA's
+SPMD partitioner over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .batch import (
+    batched_column_id,
+    batched_row_id,
+    batched_rsvd,
+    batched_two_sided_id,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_blocks",
+    "compress_blocks",
+    "replicate",
+]
+
+_METHODS = {
+    "rsvd": batched_rsvd,
+    "column_id": batched_column_id,
+    "row_id": batched_row_id,
+    "two_sided_id": batched_two_sided_id,
+}
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_names: tuple[str, ...] = ("blocks",),
+              shape: tuple[int, ...] | None = None,
+              devices=None) -> Mesh:
+    """Build a ``Mesh`` over the first ``n_devices`` devices.
+
+    Default is a 1-D ``"blocks"`` data-parallel mesh. Pass
+    ``axis_names=("blocks", "rows")`` and a ``shape`` to combine block
+    data-parallelism with row-sharded operators (see
+    ``parallel.sharded``).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if shape is None:
+        shape = (n,) if len(axis_names) == 1 else None
+    if shape is None:
+        raise ValueError("shape required for multi-axis meshes")
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def shard_blocks(blocks, mesh: Mesh, axis: str = "blocks"):
+    """Place a ``(B, m, n)`` stack with its leading axis sharded over
+    ``axis``; B must divide evenly by the axis size (pad with zero blocks
+    upstream — the scheduler does — if it doesn't)."""
+    blocks = jnp.asarray(blocks)
+    spec = P(axis, *([None] * (blocks.ndim - 1)))
+    return jax.device_put(blocks, NamedSharding(mesh, spec))
+
+
+def replicate(x, mesh: Mesh):
+    """Place a value fully replicated over the mesh."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_compress(method: str, rank: int, opts: tuple):
+    fn = _METHODS[method]
+    kwargs = dict(opts)
+
+    @jax.jit
+    def run(blocks, key):
+        return fn(blocks, key, rank, **kwargs)
+
+    return run
+
+
+def compress_blocks(blocks, key, rank: int, method: str = "rsvd",
+                    mesh: Mesh | None = None, axis: str = "blocks",
+                    **kwargs):
+    """Compress a ``(B, m, n)`` block stack, optionally sharded over a mesh.
+
+    With ``mesh`` given, the stack is sharded over ``axis`` and the
+    single jitted program runs SPMD across the mesh's devices (output
+    factors stay sharded the same way — gather at the host boundary with
+    ``jax.device_get`` / ``distributed.gather_factors``). Without a mesh
+    it is plain on-chip batching.
+
+    ``method`` is one of ``"rsvd"``, ``"column_id"``, ``"row_id"``,
+    ``"two_sided_id"``; extra kwargs go to the per-block pipeline
+    (``oversample``, ``power_iters``, ``mode`` …).
+    """
+    if method not in _METHODS:
+        raise ValueError(f"unknown method {method!r}; expected one of "
+                         f"{sorted(_METHODS)}")
+    blocks = jnp.asarray(blocks)
+    if mesh is not None:
+        n_shards = mesh.shape[axis]
+        if blocks.shape[0] % n_shards:
+            raise ValueError(
+                f"block count {blocks.shape[0]} not divisible by mesh axis "
+                f"{axis!r} ({n_shards}); pad the stack (see "
+                "parallel.scheduler) first")
+        blocks = shard_blocks(blocks, mesh, axis)
+        key = replicate(key, mesh)
+    run = _compiled_compress(method, int(rank), tuple(sorted(kwargs.items())))
+    return run(blocks, key)

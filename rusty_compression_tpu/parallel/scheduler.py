@@ -1,0 +1,171 @@
+"""Shape-bucketed scheduler for heterogeneous block workloads.
+
+The north-star workload (BASELINE.md config 5) is a stream of ~10k
+H-matrix blocks with heterogeneous shapes (1k–16k dims). XLA compiles
+one program per shape, so naive per-block dispatch causes a jit storm;
+this scheduler makes the shape set finite:
+
+1. every block's dims are rounded **up** to a bucket grid (powers of two
+   above a floor by default — a handful of distinct compiled programs
+   total);
+2. blocks in the same bucket are zero-padded and stacked; padding is
+   exact for every algorithm here (zero rows/columns of the operand
+   produce zero rows of U / columns of Vt and are never chosen as
+   pivots while genuine columns remain);
+3. each bucket stack runs through the batched (optionally mesh-sharded)
+   pipeline — one compile per (bucket-shape, batch-bucket) pair;
+4. results are un-padded and returned **in submission order** with a
+   per-block structured metrics record (SURVEY.md §5's
+   metrics/observability subsystem: block id, shape, achieved rank,
+   relative residual, wall time, bucket).
+
+The bucket-packing core (grouping + batch padding plan) also has a C++
+implementation (``native/``) for million-block manifests; this module is
+the reference implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import batched_rel_diff_fro
+from .mesh import compress_blocks
+
+__all__ = [
+    "BlockResult",
+    "bucket_dim",
+    "plan_buckets",
+    "compress_heterogeneous",
+]
+
+
+def bucket_dim(d: int, floor: int = 128) -> int:
+    """Round a dimension up to the bucket grid: the next power of two at
+    or above ``floor``. Keeps the distinct-shape count logarithmic in the
+    dimension range (1k–16k → 5 buckets per axis)."""
+    d = int(d)
+    b = int(floor)
+    while b < d:
+        b *= 2
+    return b
+
+
+def _batch_bucket(n: int, granule: int) -> int:
+    """Round a batch count up to a multiple of ``granule`` (so stacks
+    divide evenly over a mesh axis and batch shapes also come from a
+    small set)."""
+    return -(-n // granule) * granule
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockResult:
+    """Per-block outcome + metrics record (SURVEY.md §5 observability)."""
+
+    index: int                       # submission-order id
+    shape: tuple[int, int]           # original (m, n)
+    bucket: tuple[int, int]          # padded (m, n) it ran at
+    rank: int
+    rel_residual: float              # relative Frobenius reconstruction err
+    wall_time_s: float               # wall time of its bucket batch / batch
+    factors: Any                     # un-padded factor container
+
+    def record(self) -> dict:
+        """Structured log record (JSON-ready)."""
+        return {
+            "block": self.index,
+            "m": self.shape[0],
+            "n": self.shape[1],
+            "bucket_m": self.bucket[0],
+            "bucket_n": self.bucket[1],
+            "rank": self.rank,
+            "rel_residual": self.rel_residual,
+            "wall_time_s": self.wall_time_s,
+        }
+
+
+def plan_buckets(shapes: Sequence[tuple[int, int]], floor: int = 128
+                 ) -> dict[tuple[int, int], list[int]]:
+    """Group submission indices by bucketed shape.
+
+    Pure planning (no array work) — this is the piece mirrored in C++
+    for very large manifests.
+    """
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (m, n) in enumerate(shapes):
+        b = (bucket_dim(m, floor), bucket_dim(n, floor))
+        groups.setdefault(b, []).append(i)
+    return groups
+
+
+def _unpad_factors(factors, i: int, m: int, n: int, method: str):
+    """Slice block ``i``'s factors back to the original (m, n) frame."""
+    f = jax.tree_util.tree_map(lambda leaf: leaf[i], factors)
+    cls = type(factors)
+    if method == "rsvd":
+        return cls(f.u[:m, :], f.s, f.vt[:, :n])
+    if method == "column_id":
+        return cls(f.c[:m, :], f.z[:, :n], f.col_ind)
+    if method == "row_id":
+        return cls(f.x[:m, :], f.r[:, :n], f.row_ind)
+    if method == "two_sided_id":
+        return cls(f.c[:m, :], f.x, f.r[:, :n], f.row_ind, f.col_ind)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def compress_heterogeneous(blocks: Sequence, key, rank: int,
+                           method: str = "rsvd",
+                           mesh=None, axis: str = "blocks",
+                           bucket_floor: int = 128,
+                           batch_granule: int | None = None,
+                           **kwargs) -> list[BlockResult]:
+    """Compress a heterogeneous list of dense blocks to fixed rank.
+
+    Returns one ``BlockResult`` per input block, **in submission order**
+    regardless of bucket execution order. ``rank`` must be ≤ min dim of
+    every block. With a ``mesh``, each bucket's stack is sharded over
+    ``axis`` (stacks are padded up to a multiple of the axis size with
+    zero blocks, which are compressed and discarded).
+    """
+    shapes = [tuple(np.shape(b)) for b in blocks]
+    for s in shapes:
+        if len(s) != 2:
+            raise ValueError(f"blocks must be matrices, got shape {s}")
+        if rank > min(s):
+            raise ValueError(f"rank {rank} exceeds min dim of block {s}")
+    if batch_granule is None:
+        batch_granule = mesh.shape[axis] if mesh is not None else 1
+
+    groups = plan_buckets(shapes, bucket_floor)
+    results: list[BlockResult | None] = [None] * len(shapes)
+    keys = jax.random.split(key, max(len(groups), 1))
+
+    for gk, ((bm, bn), idxs) in zip(keys, sorted(groups.items())):
+        nb = _batch_bucket(len(idxs), batch_granule)
+        stack = np.zeros((nb, bm, bn),
+                         dtype=np.result_type(*[np.asarray(blocks[i]).dtype
+                                                for i in idxs]))
+        for slot, i in enumerate(idxs):
+            m, n = shapes[i]
+            stack[slot, :m, :n] = np.asarray(blocks[i])
+        t0 = time.perf_counter()
+        factors = compress_blocks(stack, gk, rank, method=method,
+                                  mesh=mesh, axis=axis, **kwargs)
+        errs = batched_rel_diff_fro(factors, stack)
+        errs = np.asarray(jax.device_get(errs))
+        jax.block_until_ready(factors)
+        dt = time.perf_counter() - t0
+        per_block = dt / len(idxs)
+        factors = jax.device_get(factors)
+        for slot, i in enumerate(idxs):
+            m, n = shapes[i]
+            results[i] = BlockResult(
+                index=i, shape=(m, n), bucket=(bm, bn), rank=int(rank),
+                rel_residual=float(errs[slot]), wall_time_s=per_block,
+                factors=_unpad_factors(factors, slot, m, n, method))
+    return results  # type: ignore[return-value]

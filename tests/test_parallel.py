@@ -1,0 +1,182 @@
+"""Tests for the scale-out layer (parallel/): batching, mesh DP, the
+row-sharded operator, and the heterogeneous scheduler.
+
+These run on 8 virtual CPU devices (conftest sets
+``--xla_force_host_platform_device_count=8``), exercising the same SPMD
+programs that run on a TPU pod slice — the multi-chip coverage the
+reference entirely lacks (SURVEY.md §4 "Implication for the new
+framework").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rusty_compression_tpu as rc
+from rusty_compression_tpu import parallel as par
+
+
+def make_block_stack(key, b, m, n, rank_hint=20, dtype=jnp.float64):
+    keys = jax.random.split(key, b)
+    mk = lambda k: rc.random_approximate_low_rank_matrix(
+        k, (m, n), sigma_max=1.0, sigma_min=1e-10, dtype=dtype)
+    return jnp.stack([mk(k) for k in keys])
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64,
+                                   jnp.complex64, jnp.complex128])
+def test_batched_rsvd_accuracy(key, dtype):
+    tol = 5e-4 if jnp.finfo(jnp.real(jnp.zeros((), dtype))).bits == 32 else 1e-6
+    blocks = make_block_stack(key, 4, 60, 40, dtype=dtype)
+    svd = par.batched_rsvd(blocks, jax.random.key(7), rank=25,
+                           power_iters=1)
+    assert svd.u.shape == (4, 60, 25)
+    assert svd.s.shape == (4, 25)
+    assert svd.vt.shape == (4, 25, 40)
+    errs = par.batched_rel_diff_fro(svd, blocks)
+    assert np.all(np.asarray(errs) < tol)
+
+
+def test_batched_two_sided_id_matches_single(key):
+    """Batched pipeline agrees with the single-block code path."""
+    blocks = make_block_stack(key, 3, 50, 35)
+    k2 = jax.random.key(3)
+    batched = par.batched_two_sided_id(blocks, k2, rank=15)
+    keys = jax.random.split(k2, 3)
+    for i in range(3):
+        single = par.two_sided_id_block(blocks[i], keys[i], rank=15)
+        got = jax.tree_util.tree_map(lambda leaf: leaf[i], batched)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(single)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-10)
+
+
+def test_batched_column_id_exact_columns(key):
+    """Per-column identity survives batching: C's columns are columns of A."""
+    blocks = make_block_stack(key, 2, 40, 60)
+    cid = par.batched_column_id(blocks, jax.random.key(1), rank=12)
+    for i in range(2):
+        a = np.asarray(blocks[i])
+        c = np.asarray(cid.c[i])
+        ind = np.asarray(cid.col_ind[i])
+        for j in range(12):
+            np.testing.assert_allclose(c[:, j], a[:, ind[j]], atol=1e-12)
+
+
+def test_mesh_sharded_equals_unsharded(key):
+    """Sharding over the blocks axis must not change any result bit-for-
+    bit semantics (same program, same sketches via same keys)."""
+    mesh = par.make_mesh(8)
+    blocks = make_block_stack(key, 8, 48, 32)
+    k = jax.random.key(11)
+    plain = par.compress_blocks(blocks, k, rank=16, method="rsvd")
+    shard = par.compress_blocks(blocks, k, rank=16, method="rsvd", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(plain.s), np.asarray(shard.s),
+                               rtol=1e-10)
+    # rank 16 of a 32-point geomspace(1 → 1e-10) spectrum: residual ~ σ_17
+    errs = par.batched_rel_diff_fro(shard, blocks)
+    assert np.all(np.asarray(errs) < 1e-4)
+
+
+def test_mesh_sharding_layout(key):
+    mesh = par.make_mesh(8)
+    blocks = make_block_stack(key, 8, 40, 24)
+    shard = par.shard_blocks(blocks, mesh)
+    svd = par.compress_blocks(shard, jax.random.key(0), rank=8)
+    # outputs keep the blocks axis sharded over all 8 devices
+    assert len(svd.u.sharding.device_set) == 8
+
+
+def test_row_sharded_operator_products(key):
+    mesh = par.make_mesh(4, axis_names=("rows",))
+    a = rc.random_approximate_low_rank_matrix(key, (64, 20), 1.0, 1e-10)
+    op = par.RowShardedOperator(a, mesh)
+    x = jnp.linspace(0, 1, 20 * 3).reshape(20, 3)
+    y = jnp.linspace(-1, 1, 64 * 3).reshape(64, 3)
+    np.testing.assert_allclose(np.asarray(op.matmat(x)), np.asarray(a @ x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.conj_matmat(y)),
+                               np.asarray(a.T @ y), atol=1e-12)
+
+
+def test_row_sharded_range_sampling(key):
+    """The matrix-free samplers run unmodified on a sharded operator."""
+    mesh = par.make_mesh(4, axis_names=("rows",))
+    a = rc.random_approximate_low_rank_matrix(key, (64, 40), 1.0, 1e-10)
+    op = par.RowShardedOperator(a, mesh)
+    q = rc.sample_range_by_rank(op, jax.random.key(5), k=20, p=5)
+    err = rc.rel_diff_fro(np.asarray(q) @ (np.asarray(q).T @ np.asarray(a)),
+                          np.asarray(a))
+    assert float(err) < 1e-4
+    # adaptive sampler too (while_loop + shard_map products)
+    q2, hist = rc.sample_range_adaptive(op, jax.random.key(6),
+                                        rel_tol=1e-5, sample_size=10)
+    assert len(hist) >= 1
+    err2 = rc.rel_diff_fro(np.asarray(q2) @ (np.asarray(q2).T @ np.asarray(a)),
+                           np.asarray(a))
+    assert float(err2) < 1e-4
+
+
+def test_scheduler_heterogeneous_order_and_accuracy(key):
+    shapes = [(50, 40), (130, 70), (40, 50), (200, 90), (50, 40)]
+    keys = jax.random.split(key, len(shapes))
+    blocks = [np.asarray(rc.random_approximate_low_rank_matrix(k, s, 1.0, 1e-10))
+              for k, s in zip(keys, shapes)]
+    results = par.compress_heterogeneous(blocks, jax.random.key(2), rank=20,
+                                         method="rsvd", power_iters=1)
+    assert [r.index for r in results] == list(range(len(shapes)))
+    for r, blk in zip(results, blocks):
+        assert r.shape == blk.shape
+        assert r.rank == 20
+        # residual bounded by the block's own spectrum position sigma_{k+1}
+        sigma_next = 10.0 ** (-10.0 * 20 / (min(blk.shape) - 1))
+        assert r.rel_residual < 10 * sigma_next
+        # un-padded factors reconstruct the original frame
+        recon = np.asarray(r.factors.to_mat())
+        assert recon.shape == blk.shape
+        assert float(rc.rel_diff_fro(recon, blk)) < 10 * sigma_next
+        rec = r.record()
+        assert rec["m"] == blk.shape[0] and rec["rank"] == 20
+
+
+def test_scheduler_bucket_plan():
+    groups = par.plan_buckets([(100, 60), (120, 50), (500, 100), (100, 60)],
+                              floor=64)
+    assert groups[(128, 64)] == [0, 1, 3]
+    assert groups[(512, 128)] == [2]
+    assert par.bucket_dim(1) == 128
+    assert par.bucket_dim(128) == 128
+    assert par.bucket_dim(129) == 256
+
+
+def test_scheduler_on_mesh(key):
+    mesh = par.make_mesh(8)
+    shapes = [(40, 30)] * 5 + [(70, 45)] * 3  # neither group divides by 8
+    keys = jax.random.split(key, len(shapes))
+    blocks = [np.asarray(rc.random_approximate_low_rank_matrix(k, s, 1.0, 1e-10))
+              for k, s in zip(keys, shapes)]
+    results = par.compress_heterogeneous(blocks, jax.random.key(9), rank=10,
+                                         mesh=mesh)
+    assert len(results) == 8
+    for r in results:
+        sigma_next = 10.0 ** (-10.0 * 10 / (min(r.shape) - 1))
+        assert r.rel_residual < 10 * sigma_next
+
+
+def test_local_block_slice_partitions_everything():
+    sl = par.local_block_slice(10)
+    assert sl == slice(0, 10)  # single process owns all
+
+
+def test_determinism_same_key_same_factors(key):
+    """Same seed ⇒ identical factors — the framework's replacement for
+    race detection (SURVEY.md §5): any nondeterminism across reruns or
+    layouts would break this."""
+    blocks = make_block_stack(key, 4, 40, 30)
+    s1 = par.compress_blocks(blocks, jax.random.key(1), rank=10)
+    s2 = par.compress_blocks(blocks, jax.random.key(1), rank=10)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
