@@ -85,9 +85,13 @@ def main():
     a = (g1 * sigma[None, :]) @ g2
     a = jax.block_until_ready(a)
 
+    # gram small-SVD: valid here because the truncation target
+    # (sigma_{k+1}/sigma_1 ~ 3e-2) is far above sqrt(eps_f32) ~ 3e-4;
+    # the printed reconstruction error is the proof.
     run = jax.jit(lambda a, k: rsvd_block(a, k, rank=RANK,
                                           oversample=OVERSAMPLE,
-                                          power_iters=POWER_ITERS))
+                                          power_iters=POWER_ITERS,
+                                          small_svd="gram"))
 
     def sync(x):
         # On tunneled TPU backends block_until_ready returns before the
@@ -108,9 +112,9 @@ def main():
 
     # Two-point slope removes the fixed per-sync flush latency of the
     # tunnel (~25 ms) that would otherwise swamp millisecond kernels.
-    k1, k2 = 3, 3 + REPS * 4
+    k1, k2 = 5, 45
     slopes = []
-    for _ in range(3):
+    for _ in range(max(REPS, 5)):
         t1, t2 = total_time(k1), total_time(k2)
         slopes.append((t2 - t1) / (k2 - k1))
     t_tpu = float(np.median(slopes))

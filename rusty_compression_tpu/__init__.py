@@ -20,10 +20,17 @@ from .models.qr import LQ, QR
 from .models.svd import SVD
 from .ops.pivoted_qr import pivoted_lq, pivoted_qr
 from .ops.svd import compute_svd
+from .ops.orthogonalize import (
+    cholesky_qr,
+    cholesky_qr2,
+    orthonormalize,
+    shifted_cholesky_qr3,
+)
 from .sampling import (
     HMT_TOL_FACTOR,
     adaptive_range_finder,
     max_col_norm,
+    range_finder,
     sample_range_adaptive,
     sample_range_by_rank,
     sample_range_power_iteration,
@@ -62,8 +69,9 @@ __all__ = [
     "pivoted_qr", "pivoted_lq", "compute_svd",
     # sampling
     "sample_range_by_rank", "sample_range_power_iteration",
-    "sample_range_adaptive", "adaptive_range_finder", "max_col_norm",
-    "HMT_TOL_FACTOR",
+    "sample_range_adaptive", "adaptive_range_finder", "range_finder",
+    "max_col_norm", "HMT_TOL_FACTOR",
+    "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils
     "rel_diff_fro", "rel_diff_l2",
     "MatrixPermutationMode", "VectorPermutationMode",

@@ -58,20 +58,23 @@ class SVD:
 
     # -- construction --------------------------------------------------------
     @classmethod
-    def compute_from(cls, a) -> "SVD":
+    def compute_from(cls, a, method: str = "direct") -> "SVD":
         """Economy SVD of a dense matrix (svd.rs:165-169)."""
-        u, s, vt = compute_svd(a)
+        u, s, vt = compute_svd(a, method=method)
         return cls(u, s, vt)
 
     @classmethod
-    def compute_from_range_estimate(cls, range_, op) -> "SVD":
+    def compute_from_range_estimate(cls, range_, op,
+                                    method: str = "direct") -> "SVD":
         """Randomized SVD from an orthonormal range estimate
         (svd.rs:171-183): SVD the small sketch ``B = (A^H Q)^H`` and lift
-        ``U = Q Uhat``."""
+        ``U = Q Uhat``. ``method="gram"`` uses the MXU-resident Gram-EVD
+        small SVD (see ops.svd) — appropriate when the target tolerance
+        is well above ``sqrt(eps)``."""
         op = as_linear_operator(op)
         range_ = jnp.asarray(range_)
         b = herm(op.conj_matmat(range_))
-        svd_b = cls.compute_from(b)
+        svd_b = cls.compute_from(b, method=method)
         return cls(range_ @ svd_b.u, svd_b.s, svd_b.vt)
 
     # -- conversions ----------------------------------------------------------

@@ -1,0 +1,127 @@
+"""Tall-skinny orthonormalization kernels (MXU-resident).
+
+Householder QR (``jnp.linalg.qr``) is the stability gold standard but is
+sequential per panel — on TPU it runs at a small fraction of MXU peak.
+For the sampling pipelines the iterates are tall-skinny (m >> l), where
+Cholesky-QR variants compute the same factorization as two or three
+GEMMs plus a tiny (l, l) Cholesky:
+
+* ``cholqr2`` — CholeskyQR2 (Yamamoto et al. 2015): two plain
+  CholeskyQR passes. Orthogonality to machine precision provided
+  ``cond(Y)^2 * eps < 1`` (f32: cond below ~1e3).
+* ``scholqr3`` — shifted CholeskyQR3 (Fukaya/Kannan/Nakatsukasa/
+  Yamamoto/Yanagisawa 2020): a first pass on the shifted Gram matrix
+  ``G + s I`` (the shift guarantees the Cholesky exists for any
+  numerically full-rank Y), then CholeskyQR2. Robust to
+  ``cond(Y) ~ 1/sqrt(eps)`` and beyond while staying all-GEMM.
+* ``qr`` — Householder fallback (always stable; the right choice on
+  CPU where LAPACK is fast).
+
+``orthonormalize`` picks per backend: GEMM-rich ``scholqr3`` on TPU,
+LAPACK Householder elsewhere.
+
+These kernels replace the reference's LAPACK ``?orgqr``-materialized Q
+(rusty-compression ``pivoted_qr.rs:104-114``) everywhere a *non-pivoted*
+orthonormal basis is needed (power iteration re-orthogonalization,
+adaptive-sampler block orthonormalization, HMT range finding).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.dtypes import eps, herm, real_dtype
+from ..utils.precision import with_precision
+
+__all__ = ["cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
+           "orthonormalize"]
+
+
+def _solve_rt(y, r):
+    """``Y @ R^{-1}`` via a right-hand-side triangular solve."""
+    return jax.lax.linalg.triangular_solve(
+        r, y, left_side=False, lower=False)
+
+
+def _shift_magnitude(g, m: int):
+    """Fukaya et al.'s sCholQR shift ``11 (m l + l (l+1)) eps ||G||``
+    (Frobenius upper-bounds the 2-norm; the shift only needs the right
+    order of magnitude). Guarantees ``G + s I`` is numerically PD for
+    any numerically full-rank ``Y`` with ``m`` rows."""
+    l = g.shape[-1]
+    gnorm = jnp.linalg.norm(g, ord="fro", axis=(-2, -1))
+    return (11.0 * (m * l + l * (l + 1)) * eps(g.dtype)) * gnorm
+
+
+def _chol(g, m: int, always_shift: bool = False):
+    """Cholesky of the (tiny, l x l) Gram matrix, guarded against
+    breakdown: if the plain factorization produces non-finite entries
+    (G indefinite under roundoff — e.g. exactly rank-deficient Y), fall
+    back to the shifted factorization, which always exists. Both
+    factorizations are l x l — negligible next to the Gram GEMM."""
+    s = _shift_magnitude(g, m)
+    shift = (s + jnp.where(s > 0, 0.0, 1.0)).astype(g.dtype) * jnp.eye(
+        g.shape[-1], dtype=g.dtype)
+    shifted = jnp.linalg.cholesky(g + shift)
+    if always_shift:
+        return shifted
+    plain = jnp.linalg.cholesky(g)
+    ok = jnp.all(jnp.isfinite(plain))
+    return jnp.where(ok, plain, shifted)
+
+
+@with_precision
+def cholesky_qr(y, always_shift: bool = False):
+    """One CholeskyQR pass: ``G = Y^H Y``, ``R = chol(G)^H``,
+    ``Q = Y R^{-1}``. Returns ``(q, r)``. Breakdown-guarded (see
+    ``_chol``): always produces finite output."""
+    g = herm(y) @ y
+    l = _chol(g, y.shape[-2], always_shift)
+    r = herm(l)
+    return _solve_rt(y, r), r
+
+
+@with_precision
+def cholesky_qr2(y):
+    """CholeskyQR2: a second pass restores orthogonality to machine
+    precision when the first pass was merely well-defined."""
+    q1, r1 = cholesky_qr(y)
+    q2, r2 = cholesky_qr(q1)
+    return q2, r2 @ r1
+
+
+@with_precision
+def shifted_cholesky_qr3(y):
+    """Shifted CholeskyQR + CholeskyQR2 — the robust all-GEMM path.
+
+    The first pass factorizes the shifted Gram matrix (always exists;
+    the shift leaves ``Q1`` well-conditioned: ``cond(Q1)^2 <=
+    1 + ||Y||^2/s``), and the two trailing passes restore orthogonality
+    to machine precision. For exactly rank-deficient ``Y`` the null
+    directions come out as arbitrary near-orthonormal columns (same
+    contract as Householder QR's arbitrary completion).
+    """
+    q1, r1 = cholesky_qr(y, always_shift=True)
+    q2, r2 = cholesky_qr2(q1)
+    return q2, r2 @ r1
+
+
+@with_precision
+def orthonormalize(y, method: str = "auto"):
+    """Orthonormal basis of the columns of tall-skinny ``y``.
+
+    Returns ``q`` only (the common need in the sampling pipelines).
+    ``method``: ``"auto"`` (scholqr3 on TPU, Householder elsewhere),
+    ``"qr"``, ``"cholqr2"``, ``"scholqr3"``.
+    """
+    if method == "auto":
+        method = "scholqr3" if jax.default_backend() == "tpu" else "qr"
+    if method == "qr":
+        q, _ = jnp.linalg.qr(y, mode="reduced")
+        return q
+    if method == "cholqr2":
+        return cholesky_qr2(y)[0]
+    if method == "scholqr3":
+        return shifted_cholesky_qr3(y)[0]
+    raise ValueError(f"unknown orthonormalization method {method!r}")

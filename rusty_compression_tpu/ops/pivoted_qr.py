@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.dtypes import herm, real_dtype
+from ..utils.precision import with_precision
 from ..utils.random_matrix import random_gaussian
 
 __all__ = ["pivoted_qr", "pivoted_lq"]
@@ -216,6 +217,7 @@ def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample):
     return q, r, ind
 
 
+@with_precision
 def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
                sketch_oversample: int = 8, key=None):
     """Column-pivoted (rank-revealing) QR: ``a[:, ind] ~= q @ r``.

@@ -2,25 +2,69 @@
 
 Equivalent of the reference's LAPACK ``?gesdd`` backend
 (rusty-compression ``src/compute_svd.rs:18-27``): economy-size U, s, Vt.
-On TPU, ``jnp.linalg.svd`` lowers to XLA's on-device SVD; the production
-path for large low-rank matrices is *sketch-then-SVD*
-(``svd_from_range_estimate`` in the containers layer), which only ever
-runs the dense SVD on a small (k, n) sketch.
+
+Two methods:
+
+* ``"direct"`` — ``jnp.linalg.svd`` (XLA's on-device one-sided Jacobi
+  on TPU). Full accuracy down to machine eps; the default.
+* ``"gram"`` — eigendecomposition of the smaller Gram matrix
+  (``A A^H`` or ``A^H A``), then the other factor by one GEMM. All
+  MXU-resident and several times faster for wide/tall matrices, at the
+  classical cost of squaring the condition number: singular values below
+  ``sqrt(eps) * s_max`` are inaccurate. Safe whenever the downstream
+  truncation tolerance is well above ``sqrt(eps)`` — e.g. the rSVD
+  production path in f32 at 1e-2..1e-3, or f64 at up to ~1e-8.
+
+On TPU, the production path for large low-rank matrices is
+*sketch-then-SVD* (``SVD.compute_from_range_estimate``), which only ever
+runs this dense SVD on a small (k, n) sketch.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.dtypes import herm, real_dtype
+from ..utils.precision import with_precision
+
 __all__ = ["compute_svd"]
 
 
-def compute_svd(a):
+def _gram_svd(a):
+    """Economy SVD via EVD of the smaller Gram matrix (all GEMM+eigh)."""
+    m, n = a.shape
+    rdt = real_dtype(a.dtype)
+    if m <= n:
+        g = a @ herm(a)                      # (m, m) Hermitian PSD
+        w, u = jnp.linalg.eigh(g)            # ascending eigenvalues
+        w = jnp.flip(w, axis=-1)
+        u = jnp.flip(u, axis=-1)
+        s = jnp.sqrt(jnp.maximum(w, 0)).astype(rdt)
+        inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+        vt = (herm(u) @ a) * inv_s[:, None].astype(a.dtype)
+        return u, s, vt
+    g = herm(a) @ a                          # (n, n)
+    w, v = jnp.linalg.eigh(g)
+    w = jnp.flip(w, axis=-1)
+    v = jnp.flip(v, axis=-1)
+    s = jnp.sqrt(jnp.maximum(w, 0)).astype(rdt)
+    inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    u = (a @ v) * inv_s[None, :].astype(a.dtype)
+    return u, s, herm(v)
+
+
+@with_precision
+def compute_svd(a, method: str = "direct"):
     """Economy SVD: ``a = u @ diag(s) @ vt`` with ``k = min(m, n)``.
 
     Returns ``(u, s, vt)`` with ``s`` real, descending — the contract of
-    ``compute_svd.rs:18-27``.
+    ``compute_svd.rs:18-27``. ``method`` is ``"direct"`` or ``"gram"``
+    (see module docstring for the accuracy trade).
     """
     a = jnp.asarray(a)
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
-    return u, s, vt
+    if method == "direct":
+        u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+        return u, s, vt
+    if method == "gram":
+        return _gram_svd(a)
+    raise ValueError(f"unknown SVD method {method!r}")

@@ -22,12 +22,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..linop import as_linear_operator
 from ..models.interp_decomp import ColumnID, RowID, TwoSidedID
 from ..models.qr import LQ, QR
 from ..models.svd import SVD
-from ..sampling import sample_range_power_iteration
-from ..utils.dtypes import herm
+from ..sampling import range_finder
 from ..utils.metrics import rel_diff_fro
+from ..utils.precision import with_precision
 
 __all__ = [
     "rsvd_block",
@@ -47,21 +48,26 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+@with_precision
 def rsvd_block(a, key, rank: int, oversample: int = 5,
-               power_iters: int = 0, **qr_kwargs) -> SVD:
+               power_iters: int = 0, ortho: str = "auto",
+               small_svd: str = "direct") -> SVD:
     """Fixed-rank randomized SVD of one dense block.
 
     Sketch-then-factorize (random_sampling.rs:58-126 feeding
-    svd.rs:171-183): range estimate by (power-iterated) Gaussian
-    sketching, then SVD of the small ``(k, n)`` projection, truncated to
-    ``rank``. Jit/vmap-traceable; all shapes static.
+    svd.rs:171-183), production fast path: the HMT ``range_finder``
+    keeps the full oversampled ``k + p`` basis (all-GEMM, no sequential
+    pivoting anywhere), the dense SVD runs only on the small
+    ``(k+p, n)`` projection, and truncation to ``rank`` happens on the
+    singular values. Jit/vmap-traceable; all shapes static.
     """
-    q = sample_range_power_iteration(a, key, rank, oversample,
-                                     power_iters, **qr_kwargs)
-    svd = SVD.compute_from_range_estimate(q, a)
+    op = as_linear_operator(a)
+    q = range_finder(op, key, rank + oversample, power_iters, ortho)
+    svd = SVD.compute_from_range_estimate(q, op, method=small_svd)
     return svd.compress_svd_rank(rank)
 
 
+@with_precision
 def column_id_block(a, key, rank: int, **qr_kwargs) -> ColumnID:
     """Fixed-rank column interpolative decomposition of one block.
 
@@ -74,6 +80,7 @@ def column_id_block(a, key, rank: int, **qr_kwargs) -> ColumnID:
     return qr.column_id()
 
 
+@with_precision
 def row_id_block(a, key, rank: int, **qr_kwargs) -> RowID:
     """Fixed-rank row interpolative decomposition of one block
     (qr.rs:363-403 through the truncated pivoted LQ)."""
@@ -81,6 +88,7 @@ def row_id_block(a, key, rank: int, **qr_kwargs) -> RowID:
     return lq.row_id()
 
 
+@with_precision
 def two_sided_id_block(a, key, rank: int, **qr_kwargs) -> TwoSidedID:
     """Fixed-rank two-sided interpolative decomposition of one block
     (col_interp_decomp.rs:116-130 route: QR → ColumnID → TwoSidedID)."""

@@ -30,12 +30,15 @@ import jax
 import jax.numpy as jnp
 
 from .linop import DenseOperator, LinearOperator, as_linear_operator
+from .ops.orthogonalize import orthonormalize
 from .ops.pivoted_qr import pivoted_qr
 from .utils.dtypes import herm, real_dtype
+from .utils.precision import with_precision
 from .utils.random_matrix import random_gaussian
 
 __all__ = [
     "max_col_norm",
+    "range_finder",
     "sample_range_by_rank",
     "sample_range_power_iteration",
     "sample_range_adaptive",
@@ -52,6 +55,7 @@ def max_col_norm(a):
     return jnp.max(jnp.linalg.norm(jnp.asarray(a), axis=-2), axis=-1)
 
 
+@with_precision
 def sample_range_by_rank(op, key, k: int, p: int = 5, **qr_kwargs):
     """Orthonormal basis for the dominant rank-``k`` range of ``op``.
 
@@ -67,24 +71,51 @@ def sample_range_by_rank(op, key, k: int, p: int = 5, **qr_kwargs):
     return q
 
 
+@with_precision
 def sample_range_power_iteration(op, key, k: int, p: int = 5,
-                                 it_count: int = 0, **qr_kwargs):
+                                 it_count: int = 0, ortho: str = "auto",
+                                 **qr_kwargs):
     """Rank-``k`` range basis refined by ``it_count`` subspace iterations.
 
     Per documented reference semantics (random_sampling.rs:74-98): apply
-    ``(A A^H)`` ``it_count`` times with a QR re-orthogonalization after
+    ``(A A^H)`` ``it_count`` times with a re-orthogonalization after
     each half-step, then pivoted-QR the final iterate and keep ``k``
     columns. ``it_count=0`` reduces to ``sample_range_by_rank``.
+    ``ortho`` selects the re-orthogonalization kernel (Householder on
+    CPU, shifted CholeskyQR3 on TPU by default — see ops.orthogonalize).
     """
     op = as_linear_operator(op)
     omega = random_gaussian(key, (op.ncols, k + p), dtype=op.dtype)
     y = op.matmat(omega)
     for _ in range(it_count):
-        q, _ = jnp.linalg.qr(y, mode="reduced")
-        w, _ = jnp.linalg.qr(op.conj_matmat(q), mode="reduced")
+        q = orthonormalize(y, ortho)
+        w = orthonormalize(op.conj_matmat(q), ortho)
         y = op.matmat(w)
     q, _, _ = pivoted_qr(y, max_rank=min(k, *y.shape), **qr_kwargs)
     return q
+
+
+@with_precision
+def range_finder(op, key, size: int, power_iters: int = 0,
+                 ortho: str = "auto"):
+    """HMT range finder: the full ``size``-column orthonormal sketch basis.
+
+    The production fast path for randomized factorizations: one Gaussian
+    sketch, optional power iterations, *unpivoted* all-GEMM
+    orthonormalization — no sequential pivoting anywhere, every FLOP on
+    the MXU. Unlike ``sample_range_by_rank`` (reference parity,
+    random_sampling.rs:103-119) it keeps all ``size = k + p`` columns;
+    downstream truncation (``SVD.compress_svd_rank``) then benefits from
+    the oversampled basis (standard HMT; tighter than trimming Q first).
+    """
+    op = as_linear_operator(op)
+    omega = random_gaussian(key, (op.ncols, size), dtype=op.dtype)
+    y = op.matmat(omega)
+    for _ in range(power_iters):
+        q = orthonormalize(y, ortho)
+        w = orthonormalize(op.conj_matmat(q), ortho)
+        y = op.matmat(w)
+    return orthonormalize(y, ortho)
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +123,8 @@ def sample_range_power_iteration(op, key, k: int, p: int = 5,
 # ---------------------------------------------------------------------------
 
 
-def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int):
+def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int,
+                   ortho: str = "auto"):
     """Device-side adaptive range finder.
 
     Carries preallocated buffers ``q`` (m, max_iters*b) and ``b_mat``
@@ -133,7 +165,7 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int):
         # Block Gram–Schmidt against the existing basis
         # (random_sampling.rs:250-252); zero columns make this exact.
         y = y - q @ (herm(q) @ y)
-        q_new, _ = jnp.linalg.qr(y, mode="reduced")
+        q_new = orthonormalize(y, ortho)
         # Append rows (A^H Q_new)^H to B and columns Q_new to Q
         # (random_sampling.rs:256-262).
         b_new = herm(op.conj_matmat(q_new))
@@ -154,11 +186,13 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int):
 
 
 _adaptive_loop_jit = jax.jit(
-    _adaptive_loop, static_argnames=("sample_size", "max_iters"))
+    _adaptive_loop, static_argnames=("sample_size", "max_iters", "ortho"))
 
 
+@with_precision
 def adaptive_range_finder(op, key, rel_tol, sample_size: int,
-                          max_rank: int | None = None):
+                          max_rank: int | None = None,
+                          ortho: str = "auto"):
     """Jittable adaptive range finder with padded outputs.
 
     Returns ``(q_padded, b_padded, ncols, n_iters, history)`` where only
@@ -173,11 +207,12 @@ def adaptive_range_finder(op, key, rel_tol, sample_size: int,
         max_rank = min(op.shape)
     max_iters = max(1, -(-int(max_rank) // int(sample_size)))
     fn = _adaptive_loop_jit if isinstance(op, DenseOperator) else _adaptive_loop
-    return fn(op, key, rel_tol, int(sample_size), max_iters)
+    return fn(op, key, rel_tol, int(sample_size), max_iters, ortho)
 
 
+@with_precision
 def sample_range_adaptive(op, key, rel_tol: float, sample_size: int,
-                          max_rank: int | None = None):
+                          max_rank: int | None = None, ortho: str = "auto"):
     """Adaptively sample the range of ``op`` to relative tolerance.
 
     Reference semantics (random_sampling.rs:202-282): returns
@@ -192,7 +227,7 @@ def sample_range_adaptive(op, key, rel_tol: float, sample_size: int,
     ``adaptive_range_finder`` and the mask-and-pad outputs.
     """
     q, _, ncols, n_iters, hist = adaptive_range_finder(
-        op, key, rel_tol, sample_size, max_rank)
+        op, key, rel_tol, sample_size, max_rank, ortho)
     ncols = int(ncols)
     n_iters = int(n_iters)
     residuals = [((i + 1) * int(sample_size), float(hist[i]))
