@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused column-pivoted Gram–Schmidt QR panel.
+
+The reference's core native kernel is LAPACK ``?geqp3``
+(rusty-compression ``pivoted_qr.rs:138-173``) — one pivot per step,
+chosen by residual column norm. The XLA expression of that loop
+(``ops.pivoted_qr._qrcp_gs``) round-trips the (m, n) residual carry
+through HBM every iteration of the ``fori_loop``. This kernel fuses the
+entire k-step loop into ONE Pallas program with the residual, the
+column-norm table, and the growing Q basis all resident in VMEM:
+
+    per step (all on-chip):
+      argmax of the norm table        -> pivot j          (VPU reduce)
+      v = resid[:, j]                                     (VMEM gather)
+      v -= Q (Q^T v)   reorthogonalization               (2 MXU GEMVs)
+      q_i = v / ||v||                                     (VPU)
+      r_row = q_i^T resid                                 (MXU GEMV)
+      resid -= q_i r_row   rank-1 downdate                (VPU)
+      norms -= r_row^2, norms[j] = -1                     (VPU)
+
+HBM traffic: read A once, write Q/R once — the O(k) intermediate
+states never leave the chip. This is the panel factorization of the
+blocked HQRRP path and the whole factorization for panel-sized inputs.
+
+f32 only (the TPU Pallas datapath has no complex support; f64 has no
+MXU). Other dtypes route to the XLA implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["qrcp_panel"]
+
+
+def _qrcp_kernel(a_ref, q_ref, r_ref, piv_ref, resid, norms):
+    m, n = a_ref.shape
+    k = q_ref.shape[1]
+
+    resid[:] = a_ref[:]
+    norms[:] = jnp.sum(resid[:] * resid[:], axis=0, keepdims=True)
+    q_ref[:] = jnp.zeros_like(q_ref)
+    r_ref[:] = jnp.zeros_like(r_ref)
+
+    def body(i, _):
+        j = jnp.argmax(norms[0, :]).astype(jnp.int32)
+        piv_ref[0:1, pl.ds(i, 1)] = j[None, None]
+        v = resid[:, pl.ds(j, 1)]  # (m, 1) pivot column
+        # One reorthogonalization pass against the basis so far (columns
+        # of Q beyond step i are zero, so full-width GEMVs are exact).
+        qv = jnp.dot(q_ref[:].T, v, preferred_element_type=jnp.float32)
+        v = v - jnp.dot(q_ref[:], qv, preferred_element_type=jnp.float32)
+        nv = jnp.sqrt(jnp.sum(v * v))
+        qi = v * jnp.where(nv > 0, 1.0 / jnp.where(nv > 0, nv, 1.0), 0.0)
+        r_row = jnp.dot(qi.T, resid[:], preferred_element_type=jnp.float32)
+        resid[:] = resid[:] - qi * r_row
+        norms[:] = jnp.maximum(norms[:] - r_row * r_row, 0.0)
+        # Exclude the chosen column from future pivoting.
+        norms[0:1, pl.ds(j, 1)] = jnp.full((1, 1), -1.0, norms.dtype)
+        q_ref[:, pl.ds(i, 1)] = qi
+        r_ref[pl.ds(i, 1), :] = r_row
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def qrcp_panel(a, k: int, *, interpret: bool = False):
+    """k-step pivoted Gram–Schmidt QR of an f32 panel, fused on-chip.
+
+    Returns ``(q, r_orig, piv)``: q (m, k) orthonormal, r_orig (k, n) in
+    *original* column order (``r_orig[i, c] = q[:, i]^T a[:, c]``), piv
+    (k,) int32 pivot columns in selection order — the contract of
+    ``ops.pivoted_qr._qrcp_gs`` (same math, same pivot rule).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter
+    (CPU-testable).
+    """
+    m, n = a.shape
+    if a.dtype != jnp.float32:
+        raise ValueError(f"qrcp_panel is f32-only, got {a.dtype}")
+    q, r, piv = pl.pallas_call(
+        _qrcp_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, n), jnp.float32),   # residual
+            pltpu.VMEM((1, n), jnp.float32),   # column norms
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n * k + 4 * m * k * k,
+            bytes_accessed=4 * (m * n + m * k + k * n),
+            transcendentals=k,
+        ),
+        interpret=interpret,
+    )(a)
+    return q, r, piv[0]

@@ -198,15 +198,35 @@ def _full_permutation(piv, used, n: int, k: int):
     return jnp.concatenate([piv, rest])
 
 
+def _pallas_fits(m: int, n: int, k: int) -> bool:
+    """Panel + basis + norms must fit VMEM (~16 MB/core, keep headroom)."""
+    return 4 * (2 * m * n + m * k + k * n + 2 * n) < 12 * 2**20
+
+
 @functools.partial(jax.jit, static_argnames=("max_rank", "mode", "block_size",
                                              "sketch_oversample"))
 def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample):
     m, n = a.shape
     k = min(m, n) if max_rank is None else min(max_rank, m, n)
     if mode == "auto":
-        mode = "gs" if (k <= 64 or n <= 128) else "blocked"
+        if k <= 64 or n <= 128:
+            # Small problem: sequential pivot rule; fused Pallas kernel
+            # on TPU when the working set fits VMEM, XLA loop otherwise.
+            if (jax.default_backend() == "tpu" and a.dtype == jnp.float32
+                    and _pallas_fits(m, n, k)):
+                mode = "pallas"
+            else:
+                mode = "gs"
+        else:
+            mode = "blocked"
     if mode == "gs":
         q, r_orig, piv, used = _qrcp_gs(a, k)
+    elif mode == "pallas":
+        from .pallas.qrcp import qrcp_panel
+
+        interpret = jax.default_backend() != "tpu"
+        q, r_orig, piv = qrcp_panel(a, k, interpret=interpret)
+        used = jnp.zeros((n,), dtype=bool).at[piv].set(True)
     elif mode == "blocked":
         b = min(block_size, k)
         q, r_orig, piv, used = _qrcp_blocked(a, k, b, sketch_oversample, key)
@@ -231,8 +251,10 @@ def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
         ``min(m, n)`` (reference behavior). Truncating here is the cheap
         path when a compression rank is known in advance.
       mode: ``"gs"`` (sequential max-norm pivoting, exact classical pivot
-        order), ``"blocked"`` (randomized panel pivoting, MXU-rich), or
-        ``"auto"``.
+        order), ``"pallas"`` (same pivot rule fused into one VMEM-resident
+        Pallas kernel; f32, TPU-compiled or interpreted elsewhere),
+        ``"blocked"`` (randomized panel pivoting, MXU-rich), or
+        ``"auto"`` (pallas/gs for small problems, blocked for large).
       block_size / sketch_oversample: blocked-mode tuning knobs.
       key: PRNG key for the blocked mode's pivot sketch (deterministic
         default).

@@ -141,7 +141,13 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int,
     if batch_granule is None:
         batch_granule = mesh.shape[axis] if mesh is not None else 1
 
-    groups = plan_buckets(shapes, bucket_floor)
+    # Plan with the C++ host runtime when available (identical output;
+    # the Python planner is the fallback and the executable spec).
+    from .. import native as _native
+
+    nplan = _native.plan(shapes, bucket_floor, batch_granule)
+    groups = nplan.groups() if nplan is not None else plan_buckets(
+        shapes, bucket_floor)
     results: list[BlockResult | None] = [None] * len(shapes)
     keys = jax.random.split(key, max(len(groups), 1))
 

@@ -145,3 +145,39 @@ class TestEdgeCases:
         q, r, ind = rc.pivoted_qr(a)
         np.testing.assert_allclose(
             np.asarray(q @ r), np.asarray(a)[:, np.asarray(ind)], atol=1e-10)
+
+
+class TestPallasQRCP:
+    """The fused Pallas panel kernel (interpret mode on CPU) must agree
+    with the XLA Gram-Schmidt QRCP bit-for-bit in exact pivots and to
+    f32 roundoff in factors."""
+
+    def test_matches_gs_mode(self, key):
+        import jax.numpy as jnp
+        a = rc.random_approximate_low_rank_matrix(
+            key, (80, 50), 1.0, 1e-6, dtype=jnp.float32)
+        q1, r1, i1 = rc.pivoted_qr(a, max_rank=20, mode="pallas")
+        q2, r2, i2 = rc.pivoted_qr(a, max_rank=20, mode="gs")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   atol=1e-6)
+
+    def test_contract_full_rank(self, key):
+        import jax.numpy as jnp
+        a = rc.random_gaussian(key, (40, 30), dtype=jnp.float32)
+        q, r, ind = rc.pivoted_qr(a, mode="pallas")
+        qn, rn, an = np.asarray(q), np.asarray(r), np.asarray(a)
+        # orthogonality and per-column reconstruction (pivoted_qr.rs tests)
+        assert np.linalg.norm(qn.T @ qn - np.eye(30)) < 1e-5
+        np.testing.assert_allclose(qn @ rn, an[:, np.asarray(ind)],
+                                   atol=1e-5)
+        # non-increasing |r_ii|
+        d = np.abs(np.diag(rn))
+        assert np.all(d[1:] <= d[:-1] + 1e-6)
+
+    def test_f64_rejected(self, key):
+        a = rc.random_gaussian(key, (16, 8))
+        with pytest.raises(ValueError, match="f32-only"):
+            rc.pivoted_qr(a, mode="pallas")
