@@ -88,38 +88,16 @@ def main():
     # gram small-SVD: valid here because the truncation target
     # (sigma_{k+1}/sigma_1 ~ 3e-2) is far above sqrt(eps_f32) ~ 3e-4;
     # the printed reconstruction error is the proof.
+    from rusty_compression_tpu.utils.profiling import sync, timeit_slope
+
     run = jax.jit(lambda a, k: rsvd_block(a, k, rank=RANK,
                                           oversample=OVERSAMPLE,
                                           power_iters=POWER_ITERS,
                                           small_svd="gram"))
-
-    def sync(x):
-        # On tunneled TPU backends block_until_ready returns before the
-        # device finishes; device_get of a leaf is the reliable barrier.
-        jax.device_get(jax.tree_util.tree_leaves(x)[-1])
-
-    # compile + warmup
+    t_tpu = timeit_slope(run, a, jax.random.key(1),
+                         n1=5, n2=45, trials=max(REPS, 5))
     out = run(a, jax.random.key(1))
     sync(out)
-
-    def total_time(n_iters: int) -> float:
-        t0 = time.perf_counter()
-        o = None
-        for i in range(n_iters):
-            o = run(a, jax.random.key(2 + i))
-        sync(o)
-        return time.perf_counter() - t0
-
-    # Two-point slope removes the fixed per-sync flush latency of the
-    # tunnel (~25 ms) that would otherwise swamp millisecond kernels.
-    k1, k2 = 5, 45
-    slopes = []
-    for _ in range(max(REPS, 5)):
-        t1, t2 = total_time(k1), total_time(k2)
-        slopes.append((t2 - t1) / (k2 - k1))
-    t_tpu = float(np.median(slopes))
-    log(f"per-iteration slope estimates: "
-        f"{[f'{s*1e3:.2f}ms' for s in slopes]}")
 
     bytes_in = M * N * 4
     gbps = bytes_in / t_tpu / 1e9

@@ -56,6 +56,11 @@ from .utils.random_matrix import (
     random_orthogonal_matrix,
 )
 
+from . import io, native  # noqa: E402  (submodule conveniences)
+from .utils.logging import MetricsLogger
+from .utils.precision import default_precision, matmul_precision
+from .utils.profiling import sync, timeit_slope, trace
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -82,4 +87,8 @@ __all__ = [
     # errors
     "RustyCompressionError", "CompressionError", "LinalgError",
     "LayoutError", "PivotedQRError",
+    # aux subsystems
+    "io", "native", "MetricsLogger",
+    "default_precision", "matmul_precision",
+    "sync", "timeit_slope", "trace",
 ]

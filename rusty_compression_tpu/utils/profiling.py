@@ -1,0 +1,68 @@
+"""Profiling & timing utilities (SURVEY.md §5 "Tracing / profiling").
+
+The reference has no instrumentation; here the benchmark/metrics layer
+standardizes on:
+
+* ``sync`` — a barrier that actually works on tunneled TPU backends
+  (``jax.block_until_ready`` can return before the device finishes
+  through a remote tunnel; fetching a leaf is the reliable fence).
+* ``timeit_slope`` — per-iteration wall time via a two-point slope,
+  cancelling the fixed per-sync flush latency (~25 ms through a
+  tunnel) that would otherwise swamp millisecond kernels.
+* ``trace`` — context manager around ``jax.profiler`` for XLA traces
+  viewable in TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import numpy as np
+
+__all__ = ["sync", "timeit_slope", "trace"]
+
+
+def sync(tree) -> None:
+    """Block until every array in ``tree`` is computed (tunnel-safe)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        jax.device_get(leaves[-1])
+    jax.block_until_ready(leaves)
+
+
+def timeit_slope(fn, *args, n1: int = 5, n2: int = 45, trials: int = 5,
+                 **kwargs) -> float:
+    """Median per-iteration seconds of ``fn(*args, **kwargs)``.
+
+    Runs ``n1`` then ``n2`` back-to-back iterations with one sync each;
+    the slope ``(t2 - t1) / (n2 - n1)`` cancels both the sync latency
+    and any one-time flush cost. ``fn`` must be side-effect free (same
+    args each call); compile/warmup happens before measurement.
+    """
+    out = fn(*args, **kwargs)
+    sync(out)
+    slopes = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n1):
+            out = fn(*args, **kwargs)
+        sync(out)
+        t1 = time.perf_counter()
+        for _ in range(n2):
+            out = fn(*args, **kwargs)
+        sync(out)
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return float(np.median(slopes))
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture an XLA profiler trace of the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
