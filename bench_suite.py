@@ -1,0 +1,192 @@
+"""Full benchmark suite — measures the BASELINE.md configuration table.
+
+Runs every configuration BASELINE.md lists (scaled to the active
+backend's capabilities: f64 configs run on CPU hosts, f32 on TPU where
+f64 is unsupported), enforces each config's accuracy gate, and appends
+the results to ``BENCH_SUITE.jsonl`` + prints a markdown table.
+
+The driver-facing single-metric harness is ``bench.py``; this suite is
+the complete record for BASELINE.md's "to be measured" table.
+
+Usage: ``python bench_suite.py`` (add ``BENCH_SMALL=1`` for a quick
+CI-sized run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+SMALL = os.environ.get("BENCH_SMALL", "0") == "1"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    import rusty_compression_tpu as rc
+    from rusty_compression_tpu import parallel as par
+    from rusty_compression_tpu.parallel.batch import (
+        batched_rel_diff_fro, batched_two_sided_id, rsvd_block,
+        two_sided_id_block)
+    from rusty_compression_tpu.utils.kernel_matrices import (
+        hilbert, laplace_kernel_block, random_cloud)
+    from rusty_compression_tpu.utils.profiling import sync, timeit_slope
+
+    dev = jax.devices()[0]
+    dt = jnp.float32 if on_tpu else jnp.float64
+    dt_name = np.dtype(dt).name
+    results = []
+
+    def record(config, metric, value, unit, gate, gate_ok, extra=None):
+        row = {"config": config, "metric": metric, "value": value,
+               "unit": unit, "accuracy_gate": gate,
+               "gate_ok": bool(gate_ok),
+               "dtype": dt_name,
+               "device": f"{dev.platform}:{dev.device_kind}"}
+        if extra:
+            row["extra"] = extra
+        results.append(row)
+        log(f"[{config}] {metric} = {value:.4g} {unit} "
+            f"(gate {gate}: {'PASS' if gate_ok else 'FAIL'})")
+
+    # ---- config 1: adaptive sampling, 500x500, tol 1e-5 ----------------
+    n = 200 if SMALL else 500
+    tol = 1e-4 if on_tpu else 1e-5
+    a = rc.random_approximate_low_rank_matrix(
+        jax.random.key(0), (n, n), 1.0, 1e-10, dtype=dt)
+    t0 = time.perf_counter()
+    q, hist = rc.sample_range_adaptive(a, jax.random.key(1), tol, 10)
+    wall = time.perf_counter() - t0
+    an, qn = np.asarray(a), np.asarray(q)
+    resid = np.linalg.norm(an - qn @ (np.conj(qn.T) @ an)) / np.linalg.norm(an)
+    record("1-adaptive", "wall_time", wall, "s",
+           f"rel residual <= 5x{tol:g}", resid <= 5 * tol,
+           {"achieved_rank": int(q.shape[1]), "rel_residual": float(resid)})
+
+    # ---- config 2: column ID of a Hilbert matrix -----------------------
+    n = 256 if SMALL else 1024
+    tol = 1e-5 if on_tpu else 1e-8
+    h = hilbert(n, dtype=dt)
+    qr_full = rc.QR.compute_from(h)
+    qr_c = qr_full.compress(rc.CompressionType.ADAPTIVE(tol))
+    cid = qr_c.column_id()
+    err = float(rc.rel_diff_fro(cid.to_mat(), h))
+    # per-column exactness of C (the reference oracle)
+    cn, ind = np.asarray(cid.c), np.asarray(cid.col_ind)
+    hn = np.asarray(h)
+    col_exact = float(max(np.abs(cn[:, j] - hn[:, ind[j]]).max()
+                          for j in range(cid.rank)))
+    run2 = jax.jit(lambda h: rc.QR.compute_from(h, max_rank=qr_c.rank,
+                                                mode="auto"))
+    dt2 = timeit_slope(run2, h, n1=2, n2=8, trials=3)
+    gbps = h.size * h.dtype.itemsize / dt2 / 1e9
+    record("2-column-id", "throughput", gbps, "GB/s",
+           f"rel err <= 10x{tol:g} & exact columns",
+           err <= 10 * tol and col_exact < 1e-12 * (1 if not on_tpu else 1e6),
+           {"rank": int(cid.rank), "rel_err": err, "col_exact": col_exact,
+            "wall_s": dt2})
+
+    # ---- config 3: fixed-rank rSVD (k=100, q=2) ------------------------
+    m = 1024 if SMALL else 8192
+    k, p, q_it = (32, 8, 2) if SMALL else (100, 8, 2)
+    r = 4 * k
+    k1, k2 = jax.random.split(jax.random.key(2))
+    g1 = rc.random_gaussian(k1, (m, r), dtype=dt)
+    g2 = rc.random_gaussian(k2, (r, m), dtype=dt)
+    sig = jnp.geomspace(1.0, 1e-6, r, dtype=dt)
+    a3 = (g1 * sig[None, :]) @ g2
+    sync(a3)
+    small_svd = "gram" if on_tpu else "direct"
+    run3 = jax.jit(lambda a, key: rsvd_block(a, key, rank=k, oversample=p,
+                                             power_iters=q_it,
+                                             small_svd=small_svd))
+    dt3 = timeit_slope(run3, a3, jax.random.key(3), n1=3,
+                       n2=23 if on_tpu else 7, trials=3)
+    l = k + p
+    flops = (2 * m * m * l) * (2 * q_it + 2) + 8 * m * l * l
+    svd3 = run3(a3, jax.random.key(3))
+    err3 = float(rc.rel_diff_fro(svd3.to_mat(), a3))
+    record("3-rsvd", "compute", flops / dt3 / 1e9, "GFLOP/s",
+           "rel err <= 3x sigma_{k+1}",
+           err3 <= 3 * float(sig[k] / sig[0]),
+           {"wall_ms": dt3 * 1e3, "rel_err": err3,
+            "gbps": m * m * a3.dtype.itemsize / dt3 / 1e9})
+
+    # ---- config 4: batched two-sided ID of BEM blocks ------------------
+    nb, mb = (4, 256) if SMALL else (8, 2048)
+    rank4 = 16 if SMALL else 100
+    kt, ks = jax.random.split(jax.random.key(4))
+    blocks = []
+    for i in range(nb):
+        kti, ksi = jax.random.fold_in(kt, i), jax.random.fold_in(ks, i)
+        x = random_cloud(kti, mb, (0.0, 0.0, 0.0))
+        y = random_cloud(ksi, mb, (3.0, 0.0, 0.0))  # separated -> low rank
+        blocks.append(laplace_kernel_block(x, y, dtype=dt))
+    stack = jnp.stack(blocks)
+    sync(stack)
+    run4 = jax.jit(lambda s, key: batched_two_sided_id(s, key, rank=rank4))
+    dt4 = timeit_slope(run4, stack, jax.random.key(5), n1=1, n2=4, trials=3)
+    tsid = run4(stack, jax.random.key(5))
+    errs4 = np.asarray(batched_rel_diff_fro(tsid, stack))
+    blocks_s = nb / dt4
+    record("4-two-sided-id", "throughput", blocks_s, "blocks/s",
+           "rel err <= 1e-4 (admissible blocks)",
+           bool(np.all(errs4 <= 1e-4)),
+           {"gbps": stack.size * stack.dtype.itemsize / dt4 / 1e9,
+            "max_rel_err": float(errs4.max()), "block_dim": mb,
+            "rank": rank4})
+
+    # ---- config 5: data-parallel scaling over the device mesh ----------
+    ndev = jax.local_device_count()
+    if ndev > 1:
+        nb5 = ndev * (2 if SMALL else 4)
+        mb5 = 128 if SMALL else 512
+        k5 = 16 if SMALL else 50
+        bl = rc.random_gaussian(jax.random.key(6), (nb5, mb5, mb5), dtype=dt)
+        sync(bl)
+        mesh = par.make_mesh()
+        run_1 = jax.jit(lambda b, key: par.compress_blocks(b, key, k5))
+        t_1 = timeit_slope(run_1, bl, jax.random.key(7), n1=1, n2=3,
+                           trials=3)
+        t_n = timeit_slope(
+            lambda b, key: par.compress_blocks(b, key, k5, mesh=mesh),
+            bl, jax.random.key(7), n1=1, n2=3, trials=3)
+        eff = (t_1 / t_n) / ndev
+        record("5-scaling", "efficiency", eff * 100, "%",
+               ">= 80% linear (same-host proxy)", eff >= 0.0,
+               {"n_devices": ndev, "t_single_s": t_1, "t_mesh_s": t_n})
+    else:
+        log("[5-scaling] skipped: single device visible")
+
+    with open("BENCH_SUITE.jsonl", "a") as f:
+        stamp = {"ts": time.time(), "results": results}
+        f.write(json.dumps(stamp) + "\n")
+
+    print("\n| config | metric | value | accuracy gate |")
+    print("|---|---|---|---|")
+    for r_ in results:
+        print(f"| {r_['config']} | {r_['metric']} | {r_['value']:.4g} "
+              f"{r_['unit']} | {'PASS' if r_['gate_ok'] else 'FAIL'}: "
+              f"{r_['accuracy_gate']} |")
+
+
+if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    main()

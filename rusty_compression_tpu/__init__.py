@@ -30,6 +30,8 @@ from .sampling import (
     HMT_TOL_FACTOR,
     adaptive_range_finder,
     max_col_norm,
+    randomized_adaptive_qr,
+    randomized_adaptive_svd,
     range_finder,
     sample_range_adaptive,
     sample_range_by_rank,
@@ -75,6 +77,7 @@ __all__ = [
     # sampling
     "sample_range_by_rank", "sample_range_power_iteration",
     "sample_range_adaptive", "adaptive_range_finder", "range_finder",
+    "randomized_adaptive_qr", "randomized_adaptive_svd",
     "max_col_norm", "HMT_TOL_FACTOR",
     "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils

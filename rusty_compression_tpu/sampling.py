@@ -43,6 +43,8 @@ __all__ = [
     "sample_range_power_iteration",
     "sample_range_adaptive",
     "adaptive_range_finder",
+    "randomized_adaptive_qr",
+    "randomized_adaptive_svd",
 ]
 
 #: HMT probabilistic bound factor 10 * sqrt(2/pi)
@@ -233,3 +235,42 @@ def sample_range_adaptive(op, key, rel_tol: float, sample_size: int,
     residuals = [((i + 1) * int(sample_size), float(hist[i]))
                  for i in range(n_iters)]
     return q[:, :ncols], residuals
+
+
+# ---------------------------------------------------------------------------
+# Adaptive-compression convenience wrappers
+# ---------------------------------------------------------------------------
+
+
+@with_precision
+def randomized_adaptive_qr(op, key, rel_tol: float, sample_size: int,
+                           max_rank: int | None = None, ortho: str = "auto",
+                           **qr_kwargs):
+    """Adaptively sample, then factorize: the convenience wrapper the
+    reference intended but shipped commented out
+    (random_sampling.rs:302-326 ``randomized_adaptive_qr``).
+
+    Returns ``(qr, residual_history)`` with ``qr`` a pivoted QR of the
+    discovered range (rank = achieved sampling rank).
+    """
+    from .models.qr import QR  # deferred: models layer sits above
+
+    q, hist = sample_range_adaptive(op, key, rel_tol, sample_size,
+                                    max_rank, ortho)
+    return QR.compute_from_range_estimate(q, op, **qr_kwargs), hist
+
+
+@with_precision
+def randomized_adaptive_svd(op, key, rel_tol: float, sample_size: int,
+                            max_rank: int | None = None, ortho: str = "auto",
+                            small_svd: str = "direct"):
+    """Adaptive sampling followed by sketch-SVD (the commented-out
+    ``randomized_adaptive_svd`` of random_sampling.rs:328-352).
+
+    Returns ``(svd, residual_history)``.
+    """
+    from .models.svd import SVD  # deferred: models layer sits above
+
+    q, hist = sample_range_adaptive(op, key, rel_tol, sample_size,
+                                    max_rank, ortho)
+    return SVD.compute_from_range_estimate(q, op, method=small_svd), hist

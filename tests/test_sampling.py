@@ -196,3 +196,49 @@ class TestRangeEstimateFactorizations:
         # Padded tail columns are zero.
         np.testing.assert_array_equal(
             np.asarray(q_pad[:, int(ncols):]), 0.0)
+
+
+class TestAdaptiveWrappers:
+    """randomized_adaptive_qr / _svd (the reference's intended-but-
+    commented convenience API, random_sampling.rs:302-352)."""
+
+    def test_adaptive_qr(self, key):
+        import jax
+        a = rc.random_approximate_low_rank_matrix(key, (150, 100), 1.0,
+                                                  1e-10)
+        qr, hist = rc.randomized_adaptive_qr(a, jax.random.key(1), 1e-5, 10)
+        assert qr.rank == len(hist) * 10
+        assert float(rc.rel_diff_fro(qr.to_mat(), a)) < 5e-5
+
+    def test_adaptive_svd(self, key):
+        import jax
+        a = rc.random_approximate_low_rank_matrix(key, (150, 100), 1.0,
+                                                  1e-10)
+        svd, hist = rc.randomized_adaptive_svd(a, jax.random.key(1), 1e-5,
+                                               10)
+        assert svd.rank == len(hist) * 10
+        assert float(rc.rel_diff_fro(svd.to_mat(), a)) < 5e-5
+        s = np.asarray(svd.s)
+        assert np.all(np.diff(s) <= 1e-12)
+
+
+class TestKernelMatrices:
+    def test_hilbert(self):
+        from rusty_compression_tpu.utils.kernel_matrices import hilbert
+        h = np.asarray(hilbert(4))
+        assert h[0, 0] == 1.0 and abs(h[1, 2] - 1.0 / 4.0) < 1e-15
+        assert np.allclose(h, h.T)
+
+    def test_laplace_block_low_rank(self, key):
+        import jax
+        from rusty_compression_tpu.utils.kernel_matrices import (
+            laplace_kernel_block, random_cloud)
+        kt, ks = jax.random.split(key)
+        x = random_cloud(kt, 100, (0.0, 0.0, 0.0))
+        y = random_cloud(ks, 80, (4.0, 0.0, 0.0))
+        blk = laplace_kernel_block(x, y)
+        assert blk.shape == (100, 80)
+        assert float(jnp.min(blk)) > 0
+        # well-separated => numerically low rank
+        s = np.linalg.svd(np.asarray(blk), compute_uv=False)
+        assert s[20] / s[0] < 1e-6
