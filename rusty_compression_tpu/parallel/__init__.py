@@ -15,6 +15,8 @@ in this package is new TPU-native capability:
 """
 
 from .batch import (
+    adaptive_rsvd_block,
+    batched_adaptive_rsvd,
     batched_column_id,
     batched_rel_diff_fro,
     batched_row_id,
@@ -42,6 +44,7 @@ from .sharded import RowShardedOperator
 
 __all__ = [
     "rsvd_block", "column_id_block", "row_id_block", "two_sided_id_block",
+    "adaptive_rsvd_block", "batched_adaptive_rsvd",
     "batched_rsvd", "batched_column_id", "batched_row_id",
     "batched_two_sided_id", "batched_rel_diff_fro",
     "make_mesh", "shard_blocks", "replicate", "compress_blocks",

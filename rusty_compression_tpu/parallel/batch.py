@@ -40,6 +40,8 @@ __all__ = [
     "batched_row_id",
     "batched_two_sided_id",
     "batched_rel_diff_fro",
+    "adaptive_rsvd_block",
+    "batched_adaptive_rsvd",
 ]
 
 
@@ -143,3 +145,65 @@ def batched_rel_diff_fro(factors, blocks):
     """
     recon = jax.vmap(type(factors).to_mat)(factors)
     return rel_diff_fro(recon, jnp.asarray(blocks))
+
+
+# ---------------------------------------------------------------------------
+# Batched adaptive-rank compression
+# ---------------------------------------------------------------------------
+
+
+@with_precision
+def adaptive_rsvd_block(a, key, rel_tol: float, sample_size: int,
+                        max_rank: int | None = None, ortho: str = "auto",
+                        small_svd: str = "direct"):
+    """Tolerance-driven randomized SVD of one block, fully on device.
+
+    Runs the adaptive range finder (``lax.while_loop`` with HMT
+    residual-norm stopping, sampling.py) and factorizes the padded
+    sketch. Static output shapes (padded to ``max_rank`` rounded up to
+    whole blocks): rows of the sketch beyond the achieved rank are zero,
+    so the trailing singular triplets come out as exact zeros — the
+    mask-and-pad discipline.
+
+    Returns ``(svd_padded, rank, history)`` where ``rank`` is the
+    achieved (data-dependent) rank and ``history[i]`` the estimated
+    relative residual after block ``i`` (zero-padded).
+    """
+    from ..models.svd import SVD
+    from ..ops.svd import compute_svd
+    from ..sampling import _adaptive_loop
+
+    op = as_linear_operator(a)
+    if max_rank is None:
+        max_rank = min(op.shape)
+    max_iters = max(1, -(-int(max_rank) // int(sample_size)))
+    q, b_mat, ncols, _, hist = _adaptive_loop(
+        op, key, rel_tol, int(sample_size), max_iters, ortho)
+    u_b, s, vt = compute_svd(b_mat, method=small_svd)
+    return SVD(q @ u_b, s, vt), ncols, hist
+
+
+def batched_adaptive_rsvd(blocks, key, rel_tol: float, sample_size: int,
+                          max_rank: int | None = None, **kwargs):
+    """Adaptive-rank randomized SVD of a ``(B, m, n)`` stack in ONE
+    compiled program: every block runs the device-side while-loop and
+    stops at its own rank (lanes that converge early are masked while
+    stragglers continue — no host round trips, no per-block dispatch).
+
+    The reference can only do this as B sequential library calls; here
+    it is a single ``vmap`` over the ``lax.while_loop``.
+
+    Returns ``(svd_padded, ranks, histories)``: svd leaves carry the
+    batch axis at padded rank; ``ranks`` (B,) are achieved ranks;
+    ``histories`` (B, max_iters) the per-block residual curves
+    (zero beyond each block's iteration count).
+    """
+    blocks = jnp.asarray(blocks)
+    if blocks.ndim != 3:
+        raise ValueError(
+            f"expected a (B, m, n) block stack, got shape {blocks.shape}")
+    keys = jax.random.split(key, blocks.shape[0])
+    fn = functools.partial(adaptive_rsvd_block, rel_tol=rel_tol,
+                           sample_size=sample_size, max_rank=max_rank,
+                           **kwargs)
+    return jax.vmap(fn)(blocks, keys)

@@ -180,3 +180,37 @@ def test_determinism_same_key_same_factors(key):
     for a, b in zip(jax.tree_util.tree_leaves(s1),
                     jax.tree_util.tree_leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_adaptive_rsvd(key):
+    """Per-block data-dependent ranks inside ONE compiled program."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    # two blocks with very different numerical ranks at tol 1e-5
+    b1 = rc.random_approximate_low_rank_matrix(k1, (80, 60), 1.0, 1e-10)
+    b2 = rc.random_approximate_low_rank_matrix(k2, (80, 60), 1.0, 1e-30)
+    blocks = jnp.stack([b1, b2])
+    svd, ranks, hist = par.batched_adaptive_rsvd(
+        blocks, k3, rel_tol=1e-5, sample_size=10)
+    ranks = np.asarray(ranks)
+    # steeper spectrum (b2: 1 -> 1e-30) converges at a smaller rank
+    assert ranks[1] < ranks[0]
+    assert ranks[0] % 10 == 0 and ranks[1] % 10 == 0
+    # padded singular values beyond the achieved rank are ~0
+    s = np.asarray(svd.s)
+    for i in range(2):
+        if ranks[i] < s.shape[1]:
+            assert np.all(s[i, ranks[i]:] < 1e-10 * s[i, 0])
+    # reconstruction meets tolerance (padded zeros don't contribute)
+    recon = jax.vmap(type(svd).to_mat)(svd)
+    errs = np.asarray(rc.rel_diff_fro(recon, blocks))
+    assert np.all(errs < 5e-5)
+
+
+def test_adaptive_rsvd_block_single(key):
+    a = rc.random_approximate_low_rank_matrix(key, (100, 70), 1.0, 1e-10)
+    svd, rank, hist = par.adaptive_rsvd_block(a, jax.random.key(1),
+                                              rel_tol=1e-6, sample_size=8)
+    rank = int(rank)
+    err = float(rc.rel_diff_fro(svd.to_mat(), a))
+    assert err < 5e-6
+    assert rank <= svd.rank  # padded container at least achieved rank
