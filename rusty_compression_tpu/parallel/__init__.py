@@ -33,7 +33,8 @@ from .distributed import (
     initialize,
     local_block_slice,
 )
-from .mesh import compress_blocks, make_mesh, replicate, shard_blocks
+from .mesh import (compress_blocks, compress_blocks_adaptive,
+                   make_mesh, replicate, shard_blocks)
 from .scheduler import (
     BlockResult,
     bucket_dim,
@@ -48,6 +49,7 @@ __all__ = [
     "batched_rsvd", "batched_column_id", "batched_row_id",
     "batched_two_sided_id", "batched_rel_diff_fro",
     "make_mesh", "shard_blocks", "replicate", "compress_blocks",
+    "compress_blocks_adaptive",
     "RowShardedOperator",
     "BlockResult", "bucket_dim", "plan_buckets", "compress_heterogeneous",
     "initialize", "global_mesh", "local_block_slice", "gather_factors",

@@ -34,6 +34,7 @@ __all__ = [
     "make_mesh",
     "shard_blocks",
     "compress_blocks",
+    "compress_blocks_adaptive",
     "replicate",
 ]
 
@@ -125,4 +126,44 @@ def compress_blocks(blocks, key, rank: int, method: str = "rsvd",
         blocks = shard_blocks(blocks, mesh, axis)
         key = replicate(key, mesh)
     run = _compiled_compress(method, int(rank), tuple(sorted(kwargs.items())))
+    return run(blocks, key)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_adaptive(rel_tol: float, sample_size: int, max_rank, opts: tuple):
+    from .batch import batched_adaptive_rsvd
+
+    kwargs = dict(opts)
+
+    @jax.jit
+    def run(blocks, key):
+        return batched_adaptive_rsvd(blocks, key, rel_tol, sample_size,
+                                     max_rank, **kwargs)
+
+    return run
+
+
+def compress_blocks_adaptive(blocks, key, rel_tol: float, sample_size: int,
+                             max_rank: int | None = None,
+                             mesh: Mesh | None = None, axis: str = "blocks",
+                             **kwargs):
+    """Tolerance-driven analogue of ``compress_blocks``: every block in
+    the (optionally mesh-sharded) stack discovers its own rank on device.
+
+    Returns ``(svd_padded, ranks, histories)`` — see
+    ``parallel.batch.batched_adaptive_rsvd``.
+    """
+    blocks = jnp.asarray(blocks)
+    if mesh is not None:
+        n_shards = mesh.shape[axis]
+        if blocks.shape[0] % n_shards:
+            raise ValueError(
+                f"block count {blocks.shape[0]} not divisible by mesh axis "
+                f"{axis!r} ({n_shards}); pad the stack (see "
+                "parallel.scheduler) first")
+        blocks = shard_blocks(blocks, mesh, axis)
+        key = replicate(key, mesh)
+    run = _compiled_adaptive(float(rel_tol), int(sample_size),
+                             None if max_rank is None else int(max_rank),
+                             tuple(sorted(kwargs.items())))
     return run(blocks, key)

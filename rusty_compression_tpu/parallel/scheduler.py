@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .batch import batched_rel_diff_fro
-from .mesh import compress_blocks
+from .mesh import compress_blocks, compress_blocks_adaptive
 
 __all__ = [
     "BlockResult",
@@ -118,25 +118,33 @@ def _unpad_factors(factors, i: int, m: int, n: int, method: str):
     raise ValueError(f"unknown method {method!r}")
 
 
-def compress_heterogeneous(blocks: Sequence, key, rank: int,
+def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                            method: str = "rsvd",
                            mesh=None, axis: str = "blocks",
                            bucket_floor: int = 128,
                            batch_granule: int | None = None,
+                           rel_tol: float | None = None,
+                           sample_size: int = 10,
                            **kwargs) -> list[BlockResult]:
-    """Compress a heterogeneous list of dense blocks to fixed rank.
+    """Compress a heterogeneous list of dense blocks.
+
+    Either to fixed ``rank`` (``method`` selects the factorization), or —
+    when ``rel_tol`` is given instead — adaptively: every block discovers
+    its own rank to the relative tolerance on device
+    (``method`` is then ignored; the factorization is an SVD).
 
     Returns one ``BlockResult`` per input block, **in submission order**
-    regardless of bucket execution order. ``rank`` must be ≤ min dim of
-    every block. With a ``mesh``, each bucket's stack is sharded over
-    ``axis`` (stacks are padded up to a multiple of the axis size with
-    zero blocks, which are compressed and discarded).
+    regardless of bucket execution order. With a ``mesh``, each bucket's
+    stack is sharded over ``axis`` (stacks are padded up to a multiple of
+    the axis size with zero blocks, which are compressed and discarded).
     """
+    if (rank is None) == (rel_tol is None):
+        raise ValueError("pass exactly one of rank= or rel_tol=")
     shapes = [tuple(np.shape(b)) for b in blocks]
     for s in shapes:
         if len(s) != 2:
             raise ValueError(f"blocks must be matrices, got shape {s}")
-        if rank > min(s):
+        if rank is not None and rank > min(s):
             raise ValueError(f"rank {rank} exceeds min dim of block {s}")
     if batch_granule is None:
         batch_granule = mesh.shape[axis] if mesh is not None else 1
@@ -160,8 +168,17 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int,
             m, n = shapes[i]
             stack[slot, :m, :n] = np.asarray(blocks[i])
         t0 = time.perf_counter()
-        factors = compress_blocks(stack, gk, rank, method=method,
-                                  mesh=mesh, axis=axis, **kwargs)
+        if rel_tol is not None:
+            factors, ranks, _hist = compress_blocks_adaptive(
+                stack, gk, rel_tol, sample_size, mesh=mesh, axis=axis,
+                **kwargs)
+            ranks = np.asarray(jax.device_get(ranks))
+            out_method = "rsvd"  # adaptive factors are SVD containers
+        else:
+            factors = compress_blocks(stack, gk, rank, method=method,
+                                      mesh=mesh, axis=axis, **kwargs)
+            ranks = np.full(nb, int(rank))
+            out_method = method
         errs = batched_rel_diff_fro(factors, stack)
         errs = np.asarray(jax.device_get(errs))
         jax.block_until_ready(factors)
@@ -170,8 +187,13 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int,
         factors = jax.device_get(factors)
         for slot, i in enumerate(idxs):
             m, n = shapes[i]
+            f = _unpad_factors(factors, slot, m, n, out_method)
+            if rel_tol is not None:
+                # slice the padded SVD to the achieved rank
+                r_i = int(ranks[slot])
+                f = type(f)(f.u[:, :r_i], f.s[:r_i], f.vt[:r_i, :])
             results[i] = BlockResult(
-                index=i, shape=(m, n), bucket=(bm, bn), rank=int(rank),
+                index=i, shape=(m, n), bucket=(bm, bn), rank=int(ranks[slot]),
                 rel_residual=float(errs[slot]), wall_time_s=per_block,
-                factors=_unpad_factors(factors, slot, m, n, method))
+                factors=f)
     return results  # type: ignore[return-value]

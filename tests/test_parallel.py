@@ -214,3 +214,28 @@ def test_adaptive_rsvd_block_single(key):
     err = float(rc.rel_diff_fro(svd.to_mat(), a))
     assert err < 5e-6
     assert rank <= svd.rank  # padded container at least achieved rank
+
+
+def test_scheduler_adaptive_tolerance(key):
+    """Heterogeneous blocks, each compressed to its own rank at tol."""
+    shapes = [(60, 40), (150, 100), (60, 40)]
+    keys = jax.random.split(key, len(shapes))
+    blocks = [np.asarray(rc.random_approximate_low_rank_matrix(k, s, 1.0, 1e-10))
+              for k, s in zip(keys, shapes)]
+    results = par.compress_heterogeneous(
+        blocks, jax.random.key(5), rel_tol=1e-5, sample_size=10)
+    assert [r.index for r in results] == [0, 1, 2]
+    for r, blk in zip(results, blocks):
+        assert 0 < r.rank <= min(blk.shape) + 10
+        assert r.rel_residual < 5e-5
+        assert r.factors.u.shape == (blk.shape[0], r.rank)
+        assert float(rc.rel_diff_fro(r.factors.to_mat(), blk)) < 5e-5
+    # the bigger block (shallower effective spectrum) needs more columns
+    assert results[1].rank > results[0].rank
+
+
+def test_scheduler_requires_exactly_one_mode(key):
+    with pytest.raises(ValueError, match="exactly one"):
+        par.compress_heterogeneous([np.eye(8)], key)
+    with pytest.raises(ValueError, match="exactly one"):
+        par.compress_heterogeneous([np.eye(8)], key, rank=2, rel_tol=0.1)
