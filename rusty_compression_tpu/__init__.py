@@ -13,7 +13,8 @@ The flat re-export below mirrors the reference's prelude-style API
 surface (rusty-compression ``lib.rs:90-102``).
 """
 
-from .linop import DenseOperator, LinearOperator, as_linear_operator
+from .linop import (DenseOperator, FactoredOperator, LinearOperator,
+                    as_linear_operator)
 from .models.compression import Adaptive, CompressionType, Rank
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
 from .models.qr import LQ, QR
@@ -67,7 +68,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     # operators
-    "LinearOperator", "DenseOperator", "as_linear_operator",
+    "LinearOperator", "DenseOperator", "FactoredOperator",
+    "as_linear_operator",
     # containers & conversions
     "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
     # compression config

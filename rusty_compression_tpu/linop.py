@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from .utils.dtypes import herm
 
-__all__ = ["LinearOperator", "DenseOperator", "as_linear_operator"]
+__all__ = ["LinearOperator", "DenseOperator", "FactoredOperator",
+           "as_linear_operator"]
 
 
 class LinearOperator:
@@ -117,8 +118,69 @@ class DenseOperator(LinearOperator):
         return cls(a)
 
 
+@jax.tree_util.register_pytree_node_class
+class FactoredOperator(LinearOperator):
+    """A factorization container viewed as a matrix-free operator.
+
+    Wraps anything exposing ``apply`` / ``conj_apply`` / ``nrows`` /
+    ``ncols`` (every container in ``models``) so factored forms flow
+    back into the sampling pipelines — e.g. re-compressing a rank-200
+    two-sided ID down to rank 50 without ever reassembling the dense
+    matrix (the products cost O((m + n) k) instead of O(m n)).
+
+    Mirrors the reference's ``Apply`` impls on the ID containers
+    (col_interp_decomp.rs:134-154 etc.), which make them operators in
+    the same sense.
+    """
+
+    def __init__(self, factors):
+        for attr in ("apply", "conj_apply", "nrows", "ncols"):
+            if not hasattr(factors, attr):
+                raise TypeError(
+                    f"{type(factors).__name__} does not expose {attr}; "
+                    "not a factorization container")
+        self.factors = factors
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.factors.nrows, self.factors.ncols)
+
+    @property
+    def dtype(self):
+        return jax.tree_util.tree_leaves(self.factors)[0].dtype
+
+    def matmat(self, x):
+        return self.factors.apply(x)
+
+    def conj_matmat(self, x):
+        return self.factors.conj_apply(x)
+
+    def to_dense(self):
+        return self.factors.to_mat()
+
+    # pytree protocol
+    def tree_flatten(self):
+        return (self.factors,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (factors,) = children
+        return cls(factors)
+
+
 def as_linear_operator(op) -> LinearOperator:
-    """Coerce an array or operator to a ``LinearOperator``."""
+    """Coerce an array, operator, or factorization container to a
+    ``LinearOperator``."""
     if isinstance(op, LinearOperator):
         return op
-    return DenseOperator(jnp.asarray(op))
+    if hasattr(op, "apply") and hasattr(op, "conj_apply"):
+        return FactoredOperator(op)
+    try:
+        return DenseOperator(jnp.asarray(op))
+    except (TypeError, ValueError) as e:
+        raise TypeError(
+            f"cannot interpret {type(op).__name__} as a linear operator; "
+            "expected an array, a LinearOperator, or a factorization "
+            "container with apply/conj_apply (QR/LQ containers have no "
+            "factored apply — convert via to_mat() or column_id()/row_id())"
+        ) from e

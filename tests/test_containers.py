@@ -225,3 +225,40 @@ class TestPytreeIntegration:
         recon = jax.vmap(lambda s: s.to_mat())(svds)
         np.testing.assert_allclose(
             np.asarray(recon), np.asarray(blocks), atol=1e-10)
+
+
+class TestFactoredOperator:
+    """Factorization containers as matrix-free operators (the reference's
+    Apply impls, col_interp_decomp.rs:134-154)."""
+
+    def test_recompress_two_sided_id_matrix_free(self, key):
+        import jax
+        a = rc.random_approximate_low_rank_matrix(key, (200, 150), 1.0,
+                                                  1e-10)
+        tsid = rc.QR.compute_from(a, max_rank=60).column_id().two_sided_id()
+        op = rc.as_linear_operator(tsid)
+        assert op.shape == (200, 150)
+        x = jnp.linspace(0, 1, 150 * 3).reshape(150, 3)
+        np.testing.assert_allclose(np.asarray(op.matmat(x)),
+                                   np.asarray(tsid.to_mat() @ x), atol=1e-10)
+        # recompress the rank-60 factored form to rank 20, never dense
+        svd, _ = rc.randomized_adaptive_svd(op, jax.random.key(1),
+                                            rel_tol=1e-3, sample_size=10)
+        err = float(rc.rel_diff_fro(svd.to_mat(), a))
+        assert err < 5e-3
+
+    def test_svd_container_as_operator(self, key):
+        a = rc.random_approximate_low_rank_matrix(key, (80, 60), 1.0, 1e-10)
+        svd = rc.SVD.compute_from(a)
+        op = rc.as_linear_operator(svd)
+        y = jnp.linspace(-1, 1, 80 * 2).reshape(80, 2)
+        np.testing.assert_allclose(np.asarray(op.conj_matmat(y)),
+                                   np.asarray(rc.utils_herm(a) @ y
+                                              if hasattr(rc, 'utils_herm')
+                                              else np.conj(np.asarray(a)).T @ np.asarray(y)),
+                                   atol=1e-10)
+
+    def test_rejects_non_container(self):
+        from rusty_compression_tpu.linop import FactoredOperator
+        with pytest.raises(TypeError, match="not a factorization container"):
+            FactoredOperator(object())
