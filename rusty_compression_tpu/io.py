@@ -67,12 +67,15 @@ def load_factors(path: str):
         return cls(*[data[n] for n in _leaf_names(cls)])
 
 
-def save_block_results(directory: str, results: Sequence) -> None:
+def save_block_results(directory: str, results: Sequence,
+                       append: bool = False) -> None:
     """Persist ``parallel.scheduler.BlockResult``s: per-block factor
-    ``.npz`` files plus ``manifest.jsonl`` (submission order)."""
+    ``.npz`` files plus ``manifest.jsonl``. Record order is write order
+    (submission order for a fresh run; completion order when appending
+    recovered blocks — consumers key on the ``block`` field)."""
     os.makedirs(directory, exist_ok=True)
     manifest_path = os.path.join(directory, "manifest.jsonl")
-    with open(manifest_path, "w") as mf:
+    with open(manifest_path, "a" if append else "w") as mf:
         for r in results:
             fname = f"block_{r.index:08d}.npz"
             save_factors(os.path.join(directory, fname), r.factors)

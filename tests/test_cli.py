@@ -1,0 +1,53 @@
+"""End-to-end tests for the command-line block-compression runner."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+import rusty_compression_tpu as rc
+from rusty_compression_tpu import io as rcio
+from rusty_compression_tpu.cli import main
+
+
+def write_blocks(d, shapes, key):
+    os.makedirs(d, exist_ok=True)
+    for i, s in enumerate(shapes):
+        a = np.asarray(rc.random_approximate_low_rank_matrix(
+            jax.random.fold_in(key, i), s, 1.0, 1e-10))
+        np.save(os.path.join(d, f"b{i:03d}.npy"), a)
+
+
+def test_cli_fixed_rank(tmp_path, key):
+    blocks = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "m.jsonl")
+    write_blocks(blocks, [(60, 40), (130, 70)], key)
+    rc_code = main([blocks, "-o", ckpt, "--rank", "12",
+                    "--metrics", metrics])
+    assert rc_code == 0
+    loaded = rcio.load_block_results(ckpt)
+    assert [r["block"] for r in loaded] == [0, 1]
+    assert all(r["rank"] == 12 for r in loaded)
+    recs = [json.loads(l) for l in open(metrics)]
+    assert len(recs) == 2 and recs[0]["m"] == 60
+
+
+def test_cli_adaptive_resume(tmp_path, key):
+    blocks = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    write_blocks(blocks, [(50, 40), (90, 60), (50, 40)], key)
+    main([blocks, "-o", ckpt, "--tol", "1e-5"])
+    # drop one record to simulate a failed block, then resume
+    manifest = os.path.join(ckpt, "manifest.jsonl")
+    lines = open(manifest).readlines()
+    open(manifest, "w").writelines(
+        [l for l in lines if json.loads(l)["block"] != 1])
+    assert rcio.pending_blocks(ckpt, 3) == [1]
+    main([blocks, "-o", ckpt, "--tol", "1e-5", "--resume"])
+    assert rcio.pending_blocks(ckpt, 3) == []
+    loaded = rcio.load_block_results(ckpt)
+    assert sorted(r["block"] for r in loaded) == [0, 1, 2]
+    # idempotent: nothing pending on a third run
+    assert main([blocks, "-o", ckpt, "--tol", "1e-5", "--resume"]) == 0
