@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.dtypes import herm
+from ..utils.precision import with_precision
 
 __all__ = ["ColumnID", "RowID", "TwoSidedID"]
 
@@ -59,19 +60,23 @@ class ColumnID:
     def rank(self) -> int:
         return self.c.shape[-1]
 
+    @with_precision
     def to_mat(self):
         """``C @ Z`` (col_interp_decomp.rs:62-65)."""
         return self.c @ self.z
 
+    @with_precision
     def apply(self, x):
         """Factored product ``C (Z x)`` for a vector or matrix ``x``
         (col_interp_decomp.rs:134-154)."""
         return self.c @ (self.z @ x)
 
+    @with_precision
     def conj_apply(self, x):
         """Factored adjoint product ``Z^H (C^H x)``."""
         return herm(self.z) @ (herm(self.c) @ x)
 
+    @with_precision
     def two_sided_id(self) -> "TwoSidedID":
         """Two-sided ID via pivoted LQ + row-ID of C
         (col_interp_decomp.rs:116-130)."""
@@ -119,18 +124,22 @@ class RowID:
     def rank(self) -> int:
         return self.r.shape[-2]
 
+    @with_precision
     def to_mat(self):
         """``X @ R`` (row_interp_decomp.rs:65-67)."""
         return self.x @ self.r
 
+    @with_precision
     def apply(self, x):
         """Factored product ``X (R x)`` (row_interp_decomp.rs:134-154)."""
         return self.x @ (self.r @ x)
 
+    @with_precision
     def conj_apply(self, x):
         """Factored adjoint product ``R^H (X^H x)``."""
         return herm(self.r) @ (herm(self.x) @ x)
 
+    @with_precision
     def two_sided_id(self) -> "TwoSidedID":
         """Two-sided ID via pivoted QR + column-ID of R
         (row_interp_decomp.rs:120-131)."""
@@ -180,15 +189,18 @@ class TwoSidedID:
     def rank(self) -> int:
         return self.x.shape[-2]
 
+    @with_precision
     def to_mat(self):
         """``C @ X @ R`` (two_sided_interp_decomp.rs:62-64)."""
         return self.c @ (self.x @ self.r)
 
+    @with_precision
     def apply(self, y):
         """Factored product ``C (X (R y))``
         (two_sided_interp_decomp.rs:154-171)."""
         return self.c @ (self.x @ (self.r @ y))
 
+    @with_precision
     def conj_apply(self, y):
         """Factored adjoint product ``R^H (X^H (C^H y))``."""
         return herm(self.r) @ (herm(self.x) @ (herm(self.c) @ y))

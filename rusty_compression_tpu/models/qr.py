@@ -23,6 +23,7 @@ from ..ops.pivoted_qr import pivoted_lq, pivoted_qr
 from ..ops.triangular import solve_upper_triangular
 from ..utils.dtypes import herm
 from ..utils.errors import CompressionError
+from ..utils.precision import with_precision
 from ..utils.permutation import MatrixPermutationMode, apply_matrix_permutation
 from .compression import Adaptive, CompressionType, Rank
 from .interp_decomp import ColumnID, RowID
@@ -87,6 +88,7 @@ class QR:
         return cls(q, r, ind)
 
     @classmethod
+    @with_precision
     def compute_from_range_estimate(cls, range_, op, **kwargs) -> "QR":
         """Randomized QR from an orthonormal range estimate (qr.rs:311-323).
 
@@ -100,6 +102,7 @@ class QR:
         return cls(range_ @ qr_b.q, qr_b.r, qr_b.ind)
 
     # -- conversions ----------------------------------------------------------
+    @with_precision
     def to_mat(self):
         """Reassemble the (approximate) original matrix:
         ``Q @ (R with inverse column permutation)`` (qr.rs:159-166)."""
@@ -133,6 +136,7 @@ class QR:
             return self.compress_qr_rank(compression_type.rank)
         raise TypeError(f"unknown compression type: {compression_type!r}")
 
+    @with_precision
     def column_id(self) -> ColumnID:
         """Column interpolative decomposition from this QR (qr.rs:270-309).
 
@@ -201,6 +205,7 @@ class LQ:
         return cls(l, q, ind)
 
     # -- conversions ----------------------------------------------------------
+    @with_precision
     def to_mat(self):
         """``(L with inverse row permutation) @ Q`` (qr.rs:72-77)."""
         l_unperm = apply_matrix_permutation(
@@ -232,6 +237,7 @@ class LQ:
             return self.compress_lq_rank(compression_type.rank)
         raise TypeError(f"unknown compression type: {compression_type!r}")
 
+    @with_precision
     def row_id(self) -> RowID:
         """Row interpolative decomposition from this LQ (qr.rs:363-403).
 

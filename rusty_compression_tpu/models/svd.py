@@ -20,6 +20,7 @@ from ..linop import as_linear_operator
 from ..ops.svd import compute_svd
 from ..utils.dtypes import herm
 from ..utils.errors import CompressionError
+from ..utils.precision import with_precision
 from .compression import Adaptive, CompressionType, Rank
 
 __all__ = ["SVD"]
@@ -64,6 +65,7 @@ class SVD:
         return cls(u, s, vt)
 
     @classmethod
+    @with_precision
     def compute_from_range_estimate(cls, range_, op,
                                     method: str = "direct") -> "SVD":
         """Randomized SVD from an orthonormal range estimate
@@ -78,10 +80,12 @@ class SVD:
         return cls(range_ @ svd_b.u, svd_b.s, svd_b.vt)
 
     # -- conversions ----------------------------------------------------------
+    @with_precision
     def to_mat(self):
         """``U @ (s * Vt)`` with the row scaling fused (svd.rs:42-54)."""
         return self.u @ (self.s.astype(self.vt.dtype)[:, None] * self.vt)
 
+    @with_precision
     def to_qr(self):
         """Convert to a pivoted QR: scale Vt rows by s, pivoted-QR that,
         and set ``Q = U Qhat`` (svd.rs:150-163)."""
@@ -121,10 +125,12 @@ class SVD:
         raise TypeError(f"unknown compression type: {compression_type!r}")
 
     # -- application -----------------------------------------------------------
+    @with_precision
     def apply(self, x):
         """Factored product ``U (s * (Vt x))``."""
         return self.u @ (self.s.astype(self.vt.dtype)[:, None] * (self.vt @ x))
 
+    @with_precision
     def conj_apply(self, x):
         """Factored adjoint product ``V (s * (U^H x))``."""
         return herm(self.vt) @ (self.s.astype(self.vt.dtype)[:, None] * (herm(self.u) @ x))

@@ -45,11 +45,21 @@ def _qrcp_kernel(a_ref, q_ref, r_ref, piv_ref, resid, norms):
     norms[:] = jnp.sum(resid[:] * resid[:], axis=0, keepdims=True)
     q_ref[:] = jnp.zeros_like(q_ref)
     r_ref[:] = jnp.zeros_like(r_ref)
+    piv_ref[:] = jnp.zeros_like(piv_ref)
+
+    # Mosaic requires lane-dimension indices to be statically 128-aligned,
+    # so all column selection/placement is done with one-hot masks and
+    # outer products (fully vectorized; ~1.5x the rank-1-update FLOPs,
+    # all VMEM-resident) instead of dynamic slices.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     def body(i, _):
         j = jnp.argmax(norms[0, :]).astype(jnp.int32)
-        piv_ref[0:1, pl.ds(i, 1)] = j[None, None]
-        v = resid[:, pl.ds(j, 1)]  # (m, 1) pivot column
+        onehot_n = (col_ids == j).astype(jnp.float32)       # (1, n)
+        # v = pivot column of the residual, via MXU matvec
+        v = jnp.dot(resid[:], onehot_n.T,
+                    preferred_element_type=jnp.float32)     # (m, 1)
         # One reorthogonalization pass against the basis so far (columns
         # of Q beyond step i are zero, so full-width GEMVs are exact).
         qv = jnp.dot(q_ref[:].T, v, preferred_element_type=jnp.float32)
@@ -60,9 +70,13 @@ def _qrcp_kernel(a_ref, q_ref, r_ref, piv_ref, resid, norms):
         resid[:] = resid[:] - qi * r_row
         norms[:] = jnp.maximum(norms[:] - r_row * r_row, 0.0)
         # Exclude the chosen column from future pivoting.
-        norms[0:1, pl.ds(j, 1)] = jnp.full((1, 1), -1.0, norms.dtype)
-        q_ref[:, pl.ds(i, 1)] = qi
-        r_ref[pl.ds(i, 1), :] = r_row
+        norms[:] = jnp.where(col_ids == j, -1.0, norms[:])
+        # Place qi into column i of Q / r_row into row i of R by
+        # outer-product accumulation (previous contents untouched).
+        onehot_k = (k_ids == i).astype(jnp.float32)         # (1, k)
+        q_ref[:] = q_ref[:] + qi * onehot_k
+        r_ref[:] = r_ref[:] + onehot_k.T * r_row
+        piv_ref[:] = jnp.where(k_ids == i, j, piv_ref[:])
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)

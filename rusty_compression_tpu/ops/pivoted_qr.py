@@ -203,22 +203,54 @@ def _pallas_fits(m: int, n: int, k: int) -> bool:
     return 4 * (2 * m * n + m * k + k * n + 2 * n) < 12 * 2**20
 
 
+_pallas_available: bool | None = None
+
+
+def pallas_available() -> bool:
+    """One-time probe: can a Pallas kernel actually compile + run on the
+    current TPU backend? Some environments (tunneled AOT compile helpers
+    without full TPU metadata) reject Mosaic compilation even though the
+    chip executes XLA fine — fall back to the XLA QRCP loop there."""
+    global _pallas_available
+    if _pallas_available is None:
+        if jax.default_backend() != "tpu":
+            _pallas_available = False
+        else:
+            try:
+                from .pallas.qrcp import qrcp_panel
+
+                q, _, _ = qrcp_panel(
+                    jnp.eye(8, dtype=jnp.float32), 8)
+                jax.device_get(q)
+                _pallas_available = True
+            except Exception:  # Mosaic/compile-helper failures
+                _pallas_available = False
+    return _pallas_available
+
+
+def _resolve_mode(mode: str, m: int, n: int, k: int, dtype) -> str:
+    """Resolve ``"auto"`` to a concrete kernel (host-side: may probe the
+    backend's Pallas support once)."""
+    if mode != "auto":
+        return mode
+    if k <= 64 or n <= 128:
+        # Small problem: sequential pivot rule; fused Pallas kernel on
+        # TPU when supported and the working set fits VMEM, XLA loop
+        # otherwise.
+        if (dtype == jnp.float32 and _pallas_fits(m, n, k)
+                and pallas_available()):
+            return "pallas"
+        return "gs"
+    return "blocked"
+
+
 @functools.partial(jax.jit, static_argnames=("max_rank", "mode", "block_size",
                                              "sketch_oversample"))
 def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample):
     m, n = a.shape
     k = min(m, n) if max_rank is None else min(max_rank, m, n)
-    if mode == "auto":
-        if k <= 64 or n <= 128:
-            # Small problem: sequential pivot rule; fused Pallas kernel
-            # on TPU when the working set fits VMEM, XLA loop otherwise.
-            if (jax.default_backend() == "tpu" and a.dtype == jnp.float32
-                    and _pallas_fits(m, n, k)):
-                mode = "pallas"
-            else:
-                mode = "gs"
-        else:
-            mode = "blocked"
+    if mode == "auto":  # resolved in the wrapper; kept for direct callers
+        mode = "gs" if (k <= 64 or n <= 128) else "blocked"
     if mode == "gs":
         q, r_orig, piv, used = _qrcp_gs(a, k)
     elif mode == "pallas":
@@ -270,6 +302,9 @@ def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
         raise ValueError(f"pivoted_qr expects a matrix, got shape {a.shape}")
     if key is None:
         key = jax.random.key(0)
+    m, n = a.shape
+    k = min(m, n) if max_rank is None else min(int(max_rank), m, n)
+    mode = _resolve_mode(mode, m, n, k, a.dtype)
     return _pivoted_qr_impl(a, key, max_rank, mode, block_size,
                             sketch_oversample)
 
