@@ -40,8 +40,7 @@ def main():
     import rusty_compression_tpu as rc
     from rusty_compression_tpu import parallel as par
     from rusty_compression_tpu.parallel.batch import (
-        batched_rel_diff_fro, batched_two_sided_id, rsvd_block,
-        two_sided_id_block)
+        batched_rel_diff_fro, batched_two_sided_id, rsvd_block)
     from rusty_compression_tpu.utils.kernel_matrices import (
         hilbert, laplace_kernel_block, random_cloud)
     from rusty_compression_tpu.utils.profiling import sync, timeit_slope

@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils.dtypes import eps, herm, real_dtype
+from ..utils.dtypes import eps, herm
 from ..utils.precision import with_precision
 
 __all__ = ["cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",

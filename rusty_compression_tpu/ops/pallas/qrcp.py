@@ -37,12 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["qrcp_panel"]
 
 
-def _qrcp_kernel(a_ref, q_ref, r_ref, piv_ref, resid, norms):
+def _qrcp_kernel(a_ref, used_ref, q_ref, r_ref, piv_ref, resid, norms):
     m, n = a_ref.shape
     k = q_ref.shape[1]
 
     resid[:] = a_ref[:]
-    norms[:] = jnp.sum(resid[:] * resid[:], axis=0, keepdims=True)
+    # Columns flagged in `used` start with norm -1: never chosen as
+    # pivots (the blocked-RRQR driver excludes previously taken columns).
+    norms[:] = jnp.where(
+        used_ref[:] > 0, -1.0,
+        jnp.sum(resid[:] * resid[:], axis=0, keepdims=True))
     q_ref[:] = jnp.zeros_like(q_ref)
     r_ref[:] = jnp.zeros_like(r_ref)
     piv_ref[:] = jnp.zeros_like(piv_ref)
@@ -83,7 +87,7 @@ def _qrcp_kernel(a_ref, q_ref, r_ref, piv_ref, resid, norms):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def qrcp_panel(a, k: int, *, interpret: bool = False):
+def qrcp_panel(a, k: int, *, used=None, interpret: bool = False):
     """k-step pivoted Gram–Schmidt QR of an f32 panel, fused on-chip.
 
     Returns ``(q, r_orig, piv)``: q (m, k) orthonormal, r_orig (k, n) in
@@ -91,12 +95,18 @@ def qrcp_panel(a, k: int, *, interpret: bool = False):
     (k,) int32 pivot columns in selection order — the contract of
     ``ops.pivoted_qr._qrcp_gs`` (same math, same pivot rule).
 
+    ``used`` (n,) bool/int marks columns excluded from pivoting (the
+    blocked-RRQR panel driver passes previously selected columns).
     ``interpret=True`` runs the kernel in the Pallas interpreter
     (CPU-testable).
     """
     m, n = a.shape
     if a.dtype != jnp.float32:
         raise ValueError(f"qrcp_panel is f32-only, got {a.dtype}")
+    if used is None:
+        used = jnp.zeros((1, n), dtype=jnp.float32)
+    else:
+        used = jnp.asarray(used).astype(jnp.float32).reshape(1, n)
     q, r, piv = pl.pallas_call(
         _qrcp_kernel,
         out_shape=(
@@ -104,7 +114,10 @@ def qrcp_panel(a, k: int, *, interpret: bool = False):
             jax.ShapeDtypeStruct((k, n), jnp.float32),
             jax.ShapeDtypeStruct((1, k), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -120,5 +133,5 @@ def qrcp_panel(a, k: int, *, interpret: bool = False):
             transcendentals=k,
         ),
         interpret=interpret,
-    )(a)
+    )(a, used)
     return q, r, piv[0]

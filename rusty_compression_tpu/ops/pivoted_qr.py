@@ -150,9 +150,23 @@ def _qrcp_blocked(a, k: int, block: int, oversample: int, key):
     used = jnp.zeros((n,), dtype=bool)
     resid = a
 
+    # Panel pivot selection runs on the small (l, n) sketch; on TPU f32
+    # the fused Pallas QRCP kernel does it entirely in VMEM (the XLA
+    # rank-1-update loop round-trips the sketch through HBM per step).
+    sketch_fits = 4 * (2 * l * n + l * block + block * n + 2 * n) < 12 * 2**20
+    use_pallas = (dt == jnp.float32 and sketch_fits and pallas_available())
+
+    def select_pivots(sketch, used, b: int):
+        if use_pallas:
+            from .pallas.qrcp import qrcp_panel
+
+            _, _, piv = qrcp_panel(sketch, b, used=used)
+            return piv, used.at[piv].set(True)
+        return _select_block_pivots(sketch, used, b)
+
     def do_block(carry, offset: int, b: int):
         resid, sketch, q_buf, r_buf, piv_buf, used = carry
-        piv, used = _select_block_pivots(sketch, used, b)
+        piv, used = select_pivots(sketch, used, b)
         panel = jnp.take(resid, piv, axis=1)  # (m, b) residual panel
         # Residual is already deflated against q_buf; one explicit block
         # Gram–Schmidt pass makes the new panel orthogonal to it to

@@ -31,7 +31,6 @@ import time
 from typing import Any, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .batch import batched_rel_diff_fro

@@ -23,7 +23,6 @@ All routines are matrix-free: they only touch the operator through
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -181,3 +181,20 @@ class TestPallasQRCP:
         a = rc.random_gaussian(key, (16, 8))
         with pytest.raises(ValueError, match="f32-only"):
             rc.pivoted_qr(a, mode="pallas")
+
+
+def test_pallas_qrcp_used_mask(key):
+    """Columns flagged `used` are never selected as pivots."""
+    import jax.numpy as jnp
+    from rusty_compression_tpu.ops.pallas.qrcp import qrcp_panel
+
+    a = rc.random_gaussian(key, (48, 32), dtype=jnp.float32)
+    used = np.zeros(32, dtype=bool)
+    used[[0, 5, 17]] = True
+    _, _, piv = qrcp_panel(a, 8, used=jnp.asarray(used), interpret=True)
+    assert not set(np.asarray(piv)).intersection({0, 5, 17})
+    # and with no mask, the selection matches the XLA rule
+    from rusty_compression_tpu.ops.pivoted_qr import _select_block_pivots
+    piv2, _ = _select_block_pivots(a, jnp.zeros(32, dtype=bool), 8)
+    _, _, piv3 = qrcp_panel(a, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(piv3), np.asarray(piv2))
