@@ -15,6 +15,7 @@ surface (rusty-compression ``lib.rs:90-102``).
 
 from .linop import (DenseOperator, FactoredOperator, LinearOperator,
                     as_linear_operator)
+from .config import CompressionConfig, compress
 from .models.compression import Adaptive, CompressionType, Rank
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
 from .models.qr import LQ, QR
@@ -74,6 +75,7 @@ __all__ = [
     "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
     # compression config
     "CompressionType", "Rank", "Adaptive",
+    "CompressionConfig", "compress",
     # kernels
     "pivoted_qr", "pivoted_lq", "compute_svd",
     # sampling

@@ -1,0 +1,142 @@
+"""Frozen configuration dataclass + one-call compression front door.
+
+The reference's entire "config system" is the ``CompressionType`` enum
+plus explicit function arguments (SURVEY.md §5: k, p oversampling,
+it_count, rel_tol, sample_size). This module preserves that shape —
+every knob remains an explicit field with the reference's defaults —
+and adds the TPU-specific ones (orthogonalization kernel, small-SVD
+method, matmul precision, RRQR block size, scheduler bucket floor).
+
+``compress`` is the front door: one call routes a dense matrix, an
+operator, a (B, m, n) stack, or a heterogeneous list of blocks to the
+right pipeline for the requested method and rank/tolerance mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["CompressionConfig", "compress"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CompressionConfig:
+    """Every knob of the compression pipelines in one frozen record.
+
+    Exactly one of ``rank`` / ``rel_tol`` must be set (the reference's
+    ``CompressionType::{RANK, ADAPTIVE}`` split, lib.rs:82-87).
+    """
+
+    # -- what to compute ---------------------------------------------------
+    rank: int | None = None          # fixed target rank
+    rel_tol: float | None = None     # adaptive relative tolerance
+    method: str = "rsvd"             # rsvd | column_id | row_id | two_sided_id
+
+    # -- sampling knobs (reference defaults, random_sampling.rs:63-89) ------
+    oversample: int = 5              # p
+    power_iters: int = 0             # it_count
+    sample_size: int = 10            # adaptive probe block size
+    max_rank: int | None = None      # adaptive rank cap
+
+    # -- TPU-specific knobs --------------------------------------------------
+    ortho: str = "auto"              # qr | cholqr2 | scholqr3 | auto
+    small_svd: str = "direct"        # direct | gram
+    precision: str | None = None     # highest | high | default | None=policy
+    qr_mode: str = "auto"            # gs | pallas | blocked | auto
+    block_size: int = 128            # blocked-RRQR panel width
+    bucket_floor: int = 128          # scheduler shape-bucket grid floor
+
+    def __post_init__(self):
+        if (self.rank is None) == (self.rel_tol is None):
+            raise ValueError(
+                "set exactly one of rank= (fixed) or rel_tol= (adaptive)")
+        if self.method not in ("rsvd", "column_id", "row_id",
+                               "two_sided_id"):
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.rel_tol is not None and self.method != "rsvd":
+            raise ValueError(
+                "adaptive (rel_tol) compression produces an SVD; use "
+                "method='rsvd'")
+
+    # convenience constructors mirroring the reference enum spelling
+    @classmethod
+    def RANK(cls, k: int, **kwargs) -> "CompressionConfig":
+        return cls(rank=k, **kwargs)
+
+    @classmethod
+    def ADAPTIVE(cls, tol: float, **kwargs) -> "CompressionConfig":
+        return cls(rel_tol=tol, **kwargs)
+
+
+def compress(target: Any, key, config: CompressionConfig, mesh=None):
+    """Compress ``target`` according to ``config``.
+
+    ``target`` may be a dense (m, n) matrix or LinearOperator (single
+    compression), a (B, m, n) stack (batched, optionally mesh-sharded),
+    or a list/tuple of heterogeneous blocks (scheduler path; returns
+    ``BlockResult``s).
+    """
+    from .parallel import (
+        batched_adaptive_rsvd,
+        compress_blocks,
+        compress_blocks_adaptive,
+        compress_heterogeneous,
+    )
+    from .parallel.batch import (
+        adaptive_rsvd_block,
+        column_id_block,
+        row_id_block,
+        rsvd_block,
+        two_sided_id_block,
+    )
+
+    c = config
+    common: dict = {}
+    if c.precision is not None:
+        common["precision"] = c.precision
+
+    if isinstance(target, (list, tuple)):
+        kwargs = dict(method=c.method, mesh=mesh,
+                      bucket_floor=c.bucket_floor, **common)
+        if c.rel_tol is not None:
+            kwargs.update(rel_tol=c.rel_tol, sample_size=c.sample_size)
+        else:
+            kwargs.update(rank=c.rank, oversample=c.oversample,
+                          power_iters=c.power_iters)
+        return compress_heterogeneous(target, key, **kwargs)
+
+    arr = target if hasattr(target, "matmat") else np.asarray(
+        jax.device_get(target) if hasattr(target, "device") else target)
+    ndim = getattr(arr, "ndim", 2) if not hasattr(target, "matmat") else 2
+
+    if ndim == 3:
+        if c.rel_tol is not None:
+            return compress_blocks_adaptive(
+                target, key, c.rel_tol, c.sample_size, c.max_rank,
+                mesh=mesh, **common)
+        if c.method == "rsvd":
+            kwargs = dict(oversample=c.oversample,
+                          power_iters=c.power_iters, ortho=c.ortho,
+                          small_svd=c.small_svd, **common)
+        else:
+            kwargs = dict(mode=c.qr_mode, block_size=c.block_size, **common)
+        return compress_blocks(target, key, c.rank, method=c.method,
+                               mesh=mesh, **kwargs)
+
+    # single matrix / operator
+    if c.rel_tol is not None:
+        svd, rank, hist = adaptive_rsvd_block(
+            target, key, c.rel_tol, c.sample_size, c.max_rank,
+            ortho=c.ortho, small_svd=c.small_svd, **common)
+        return svd.compress_svd_rank(int(rank)), hist
+    block_fns = {"rsvd": rsvd_block, "column_id": column_id_block,
+                 "row_id": row_id_block, "two_sided_id": two_sided_id_block}
+    if c.method == "rsvd":
+        return rsvd_block(target, key, c.rank, c.oversample, c.power_iters,
+                          c.ortho, c.small_svd, **common)
+    return block_fns[c.method](target, key, c.rank, mode=c.qr_mode,
+                               block_size=c.block_size, **common)

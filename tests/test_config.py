@@ -1,0 +1,51 @@
+"""Tests for the CompressionConfig front door."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rusty_compression_tpu as rc
+
+
+@pytest.fixture
+def mat(key):
+    return rc.random_approximate_low_rank_matrix(key, (80, 60), 1.0, 1e-10)
+
+
+@pytest.mark.parametrize("method,cls", [
+    ("rsvd", "SVD"), ("column_id", "ColumnID"), ("row_id", "RowID"),
+    ("two_sided_id", "TwoSidedID")])
+def test_single_matrix_routes(mat, method, cls):
+    cfg = rc.CompressionConfig.RANK(12, method=method, power_iters=1)
+    f = rc.compress(mat, jax.random.key(1), cfg)
+    assert type(f).__name__ == cls
+    assert f.rank == 12
+    assert float(rc.rel_diff_fro(f.to_mat(), mat)) < 1e-1
+
+
+def test_adaptive_single(mat):
+    svd, hist = rc.compress(mat, jax.random.key(2),
+                            rc.CompressionConfig.ADAPTIVE(1e-5))
+    assert float(rc.rel_diff_fro(svd.to_mat(), mat)) < 5e-5
+    assert len(hist) > 0
+
+
+def test_stack_and_list(mat):
+    stack = jnp.stack([mat, mat, mat])
+    svd = rc.compress(stack, jax.random.key(3), rc.CompressionConfig.RANK(8))
+    assert svd.u.shape == (3, 80, 8)
+    res = rc.compress([np.asarray(mat), np.asarray(mat[:40, :30])],
+                      jax.random.key(4), rc.CompressionConfig.RANK(8))
+    assert [r.index for r in res] == [0, 1]
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        rc.CompressionConfig()
+    with pytest.raises(ValueError, match="exactly one"):
+        rc.CompressionConfig(rank=3, rel_tol=0.1)
+    with pytest.raises(ValueError, match="unknown method"):
+        rc.CompressionConfig(rank=3, method="nope")
+    with pytest.raises(ValueError, match="produces an SVD"):
+        rc.CompressionConfig(rel_tol=0.1, method="column_id")
