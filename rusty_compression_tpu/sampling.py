@@ -153,18 +153,24 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int,
     q0 = jnp.zeros((m, cap), dtype=dt)
     b0 = jnp.zeros((cap, n), dtype=dt)
     hist0 = jnp.zeros((max_iters,), dtype=rdt)
-    state = (key, y, q0, b0, jnp.int32(0), op_norm, hist0)
+    state = (key, y, q0, b0, jnp.int32(0), op_norm, hist0, jnp.int32(0))
 
     def cond(state):
-        _, _, _, _, it, max_norm, _ = state
-        return jnp.logical_and(max_norm / safe_op_norm >= rel_tol,
-                               it < max_iters)
+        _, _, _, _, it, max_norm, _, stall = state
+        return jnp.logical_and(
+            max_norm / safe_op_norm >= rel_tol,
+            jnp.logical_and(it < max_iters, stall < 2))
 
     def body(state):
-        key, y, q, b_mat, it, _, hist = state
+        key, y, q, b_mat, it, prev_norm, hist, stall = state
         ncols = it * blk
         # Block Gram–Schmidt against the existing basis
         # (random_sampling.rs:250-252); zero columns make this exact.
+        # Two passes ("twice is enough"): after heavy deflation a single
+        # pass leaves the probe visibly non-orthogonal to the basis in
+        # f32, and appending it degrades Q — the reference's single pass
+        # diverges when the tolerance sits near the dtype's noise floor.
+        y = y - q @ (herm(q) @ y)
         y = y - q @ (herm(q) @ y)
         q_new = orthonormalize(y, ortho)
         # Append rows (A^H Q_new)^H to B and columns Q_new to Q
@@ -178,10 +184,15 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int,
         omega = random_gaussian(k1, (n, blk), dtype=dt)
         y = op.matmat(omega) - q @ (b_mat @ omega)
         max_norm = tol_factor * max_col_norm(y)
+        # Noise-floor detector: when appending a whole block no longer
+        # shrinks the residual estimate, the dtype floor is reached —
+        # stop instead of filling the basis with roundoff directions.
+        stall = jnp.where(max_norm > 0.7 * prev_norm, stall + 1,
+                          jnp.int32(0))
         hist = hist.at[it].set(max_norm / safe_op_norm)
-        return key, y, q, b_mat, it + 1, max_norm, hist
+        return key, y, q, b_mat, it + 1, max_norm, hist, stall
 
-    key, y, q, b_mat, it, max_norm, hist = jax.lax.while_loop(
+    key, y, q, b_mat, it, max_norm, hist, _ = jax.lax.while_loop(
         cond, body, state)
     return q, b_mat, it * blk, it, hist
 

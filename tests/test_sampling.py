@@ -242,3 +242,21 @@ class TestKernelMatrices:
         # well-separated => numerically low rank
         s = np.linalg.svd(np.asarray(blk), compute_uv=False)
         assert s[20] / s[0] < 1e-6
+
+
+def test_adaptive_below_dtype_floor_stops_cleanly(key):
+    """Tolerance below the f32 noise floor: the sampler must hit its
+    stall guard and return a still-valid basis (the single-pass BGS of
+    the reference diverges here — basis degrades and reconstruction
+    blows up)."""
+    a = rc.random_approximate_low_rank_matrix(
+        key, (256, 256), 1.0, 1e-10, dtype=jnp.float32)
+    q, hist = rc.sample_range_adaptive(a, jax.random.key(1),
+                                       rel_tol=1e-9, sample_size=8)
+    # stalls near the f32 floor instead of running to the 256 cap
+    assert q.shape[1] < 200
+    qn, an = np.asarray(q), np.asarray(a)
+    # basis remains orthonormal and the projection remains a contraction
+    assert np.linalg.norm(qn.T @ qn - np.eye(q.shape[1])) < 1e-4
+    resid = np.linalg.norm(an - qn @ (qn.T @ an)) / np.linalg.norm(an)
+    assert resid < 1e-5
