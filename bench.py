@@ -113,6 +113,22 @@ def main():
     log(f"rel reconstruction error: {recon_err:.3e} "
         f"(sigma_(k+1)/sigma_1 = {float(sigma[RANK]/sigma[0]):.3e})")
 
+    # extra: single-pass generalized Nystrom (bandwidth-optimal; 2 HBM
+    # passes over A vs 6 for q=2 power iteration). Looser accuracy
+    # (~3x optimal) — reported alongside, not as the headline.
+    from rusty_compression_tpu.sampling import nystrom_svd
+
+    run_ny = jax.jit(lambda a, k: nystrom_svd(a, k, k=RANK,
+                                              oversample=OVERSAMPLE,
+                                              small_svd="gram"))
+    t_ny = timeit_slope(run_ny, a, jax.random.key(7), n1=5, n2=45,
+                        trials=max(REPS, 5))
+    ny = run_ny(a, jax.random.key(7))
+    ny_err = float(jnp.linalg.norm(
+        a - ny.u @ (ny.s[:, None] * ny.vt)) / jnp.linalg.norm(a))
+    log(f"nystrom single-pass: {t_ny*1e3:.1f} ms, "
+        f"{bytes_in/t_ny/1e9:.1f} GB/s, rel err {ny_err:.3e}")
+
     vs_baseline = 1.0
     if CPU_BASELINE:
         a_host = np.asarray(jax.device_get(a))
@@ -133,6 +149,8 @@ def main():
             "gflops": round(gflops, 1),
             "wall_ms": round(t_tpu * 1e3, 2),
             "rel_error": recon_err,
+            "nystrom_gbps": round(bytes_in / t_ny / 1e9, 3),
+            "nystrom_rel_error": ny_err,
             "device": f"{dev.platform}:{dev.device_kind}",
         },
     }))

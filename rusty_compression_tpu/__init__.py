@@ -32,6 +32,7 @@ from .sampling import (
     HMT_TOL_FACTOR,
     adaptive_range_finder,
     max_col_norm,
+    nystrom_svd,
     randomized_adaptive_qr,
     randomized_adaptive_svd,
     range_finder,
@@ -82,6 +83,7 @@ __all__ = [
     "sample_range_by_rank", "sample_range_power_iteration",
     "sample_range_adaptive", "adaptive_range_finder", "range_finder",
     "randomized_adaptive_qr", "randomized_adaptive_svd",
+    "nystrom_svd",
     "max_col_norm", "HMT_TOL_FACTOR",
     "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils

@@ -260,3 +260,31 @@ def test_adaptive_below_dtype_floor_stops_cleanly(key):
     assert np.linalg.norm(qn.T @ qn - np.eye(q.shape[1])) < 1e-4
     resid = np.linalg.norm(an - qn @ (qn.T @ an)) / np.linalg.norm(an)
     assert resid < 1e-5
+
+
+class TestNystromSVD:
+    """Single-pass generalized Nystrom factorization (beyond-reference)."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64,
+                                       jnp.complex64, jnp.complex128])
+    def test_accuracy_within_theory(self, key, dtype):
+        a = rc.random_approximate_low_rank_matrix(key, (200, 150), 1.0,
+                                                  1e-10, dtype=dtype)
+        k = 40
+        svd = rc.nystrom_svd(a, jax.random.key(1), k=k)
+        err = float(rc.rel_diff_fro(svd.to_mat(), a))
+        sigma_next = 10.0 ** (-10.0 * k / 149)
+        # Nystrom bound: ~(1 + l/(l2-l-1)) * optimal ~ 3x; allow 10x
+        assert err < 10 * sigma_next
+        assert svd.rank == k
+        u = np.asarray(svd.u)
+        assert np.linalg.norm(np.conj(u.T) @ u - np.eye(k)) < 1e-4
+
+    def test_matrix_free_and_jittable(self, key):
+        import jax as _jax
+        a = rc.random_approximate_low_rank_matrix(key, (150, 100), 1.0,
+                                                  1e-10)
+        op = rc.as_linear_operator(a)
+        f = _jax.jit(lambda key: rc.nystrom_svd(op, key, k=20))
+        svd = f(_jax.random.key(2))
+        assert float(rc.rel_diff_fro(svd.to_mat(), a)) < 1e-1
