@@ -109,9 +109,12 @@ def main(argv=None) -> int:
     if args.tol is not None:
         kwargs.update(rel_tol=args.tol, sample_size=args.sample_size)
     else:
-        kwargs.update(rank=args.rank, method=args.method,
-                      power_iters=args.power_iters,
-                      oversample=args.oversample)
+        kwargs.update(rank=args.rank, method=args.method)
+        if args.method == "rsvd":
+            # sampling knobs only exist on the sketch-based pipeline;
+            # the ID methods go through pivoted QR directly
+            kwargs.update(power_iters=args.power_iters,
+                          oversample=args.oversample)
 
     results = compress_heterogeneous(
         blocks, jax.random.key(args.seed), mesh=mesh, **kwargs)

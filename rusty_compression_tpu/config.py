@@ -105,13 +105,15 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
         if c.rel_tol is not None:
             kwargs.update(rel_tol=c.rel_tol, sample_size=c.sample_size)
         else:
-            kwargs.update(rank=c.rank, oversample=c.oversample,
-                          power_iters=c.power_iters)
+            kwargs.update(rank=c.rank)
+            if c.method == "rsvd":
+                kwargs.update(oversample=c.oversample,
+                              power_iters=c.power_iters)
+            else:
+                kwargs.update(mode=c.qr_mode, block_size=c.block_size)
         return compress_heterogeneous(target, key, **kwargs)
 
-    arr = target if hasattr(target, "matmat") else np.asarray(
-        jax.device_get(target) if hasattr(target, "device") else target)
-    ndim = getattr(arr, "ndim", 2) if not hasattr(target, "matmat") else 2
+    ndim = 2 if hasattr(target, "matmat") else np.ndim(target)
 
     if ndim == 3:
         if c.rel_tol is not None:

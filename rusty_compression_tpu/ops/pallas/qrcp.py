@@ -72,7 +72,11 @@ def _qrcp_kernel(a_ref, used_ref, q_ref, r_ref, piv_ref, resid, norms):
         qi = v * jnp.where(nv > 0, 1.0 / jnp.where(nv > 0, nv, 1.0), 0.0)
         r_row = jnp.dot(qi.T, resid[:], preferred_element_type=jnp.float32)
         resid[:] = resid[:] - qi * r_row
-        norms[:] = jnp.maximum(norms[:] - r_row * r_row, 0.0)
+        # Downdate, preserving the -1 exclusion sentinel: clamping those
+        # entries back to 0 would let exhausted/used columns win a later
+        # argmax tie once genuine norms also reach 0.
+        norms[:] = jnp.where(norms[:] < 0.0, norms[:],
+                             jnp.maximum(norms[:] - r_row * r_row, 0.0))
         # Exclude the chosen column from future pivoting.
         norms[:] = jnp.where(col_ids == j, -1.0, norms[:])
         # Place qi into column i of Q / r_row into row i of R by

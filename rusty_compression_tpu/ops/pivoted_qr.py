@@ -153,8 +153,8 @@ def _qrcp_blocked(a, k: int, block: int, oversample: int, key):
     # Panel pivot selection runs on the small (l, n) sketch; on TPU f32
     # the fused Pallas QRCP kernel does it entirely in VMEM (the XLA
     # rank-1-update loop round-trips the sketch through HBM per step).
-    sketch_fits = 4 * (2 * l * n + l * block + block * n + 2 * n) < 12 * 2**20
-    use_pallas = (dt == jnp.float32 and sketch_fits and pallas_available())
+    use_pallas = (dt == jnp.float32 and _pallas_fits(l, n, block)
+                  and pallas_available())
 
     def select_pivots(sketch, used, b: int):
         if use_pallas:

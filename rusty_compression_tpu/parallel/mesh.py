@@ -85,6 +85,17 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+def _shard_for_mesh(blocks, key, mesh: Mesh, axis: str):
+    """Validate divisibility and place (blocks, key) for SPMD over the mesh."""
+    n_shards = mesh.shape[axis]
+    if blocks.shape[0] % n_shards:
+        raise ValueError(
+            f"block count {blocks.shape[0]} not divisible by mesh axis "
+            f"{axis!r} ({n_shards}); pad the stack (see "
+            "parallel.scheduler) first")
+    return shard_blocks(blocks, mesh, axis), replicate(key, mesh)
+
+
 @functools.lru_cache(maxsize=None)
 def _compiled_compress(method: str, rank: int, opts: tuple):
     fn = _METHODS[method]
@@ -117,14 +128,7 @@ def compress_blocks(blocks, key, rank: int, method: str = "rsvd",
                          f"{sorted(_METHODS)}")
     blocks = jnp.asarray(blocks)
     if mesh is not None:
-        n_shards = mesh.shape[axis]
-        if blocks.shape[0] % n_shards:
-            raise ValueError(
-                f"block count {blocks.shape[0]} not divisible by mesh axis "
-                f"{axis!r} ({n_shards}); pad the stack (see "
-                "parallel.scheduler) first")
-        blocks = shard_blocks(blocks, mesh, axis)
-        key = replicate(key, mesh)
+        blocks, key = _shard_for_mesh(blocks, key, mesh, axis)
     run = _compiled_compress(method, int(rank), tuple(sorted(kwargs.items())))
     return run(blocks, key)
 
@@ -155,14 +159,7 @@ def compress_blocks_adaptive(blocks, key, rel_tol: float, sample_size: int,
     """
     blocks = jnp.asarray(blocks)
     if mesh is not None:
-        n_shards = mesh.shape[axis]
-        if blocks.shape[0] % n_shards:
-            raise ValueError(
-                f"block count {blocks.shape[0]} not divisible by mesh axis "
-                f"{axis!r} ({n_shards}); pad the stack (see "
-                "parallel.scheduler) first")
-        blocks = shard_blocks(blocks, mesh, axis)
-        key = replicate(key, mesh)
+        blocks, key = _shard_for_mesh(blocks, key, mesh, axis)
     run = _compiled_adaptive(float(rel_tol), int(sample_size),
                              None if max_rank is None else int(max_rank),
                              tuple(sorted(kwargs.items())))

@@ -52,6 +52,12 @@ __all__ = [
 HMT_TOL_FACTOR = 10.0 * math.sqrt(2.0 / math.pi)
 
 
+def _np_eps(rdt) -> float:
+    import numpy as _np
+
+    return float(_np.finfo(rdt).eps)
+
+
 def max_col_norm(a):
     """Maximum Euclidean column norm (random_sampling.rs:175-199)."""
     return jnp.max(jnp.linalg.norm(jnp.asarray(a), axis=-2), axis=-1)
@@ -185,11 +191,17 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int,
         omega = random_gaussian(k1, (n, blk), dtype=dt)
         y = op.matmat(omega) - q @ (b_mat @ omega)
         max_norm = tol_factor * max_col_norm(y)
-        # Noise-floor detector: when appending a whole block no longer
-        # shrinks the residual estimate, the dtype floor is reached —
-        # stop instead of filling the basis with roundoff directions.
-        stall = jnp.where(max_norm > 0.7 * prev_norm, stall + 1,
-                          jnp.int32(0))
+        # Noise-floor detector: stop when the residual estimate has BOTH
+        # stopped shrinking AND sits within ~50 eps of the operator norm
+        # — i.e. at the dtype's roundoff floor. The floor condition is
+        # essential: slowly decaying spectra legitimately shrink by only
+        # a few percent per block far above the floor and must keep
+        # iterating toward the tolerance.
+        at_floor = max_norm / safe_op_norm < 50.0 * jnp.asarray(
+            _np_eps(rdt), dtype=rdt)
+        no_progress = max_norm > 0.9 * prev_norm
+        stall = jnp.where(jnp.logical_and(at_floor, no_progress),
+                          stall + 1, jnp.int32(0))
         hist = hist.at[it].set(max_norm / safe_op_norm)
         return key, y, q, b_mat, it + 1, max_norm, hist, stall
 

@@ -51,3 +51,14 @@ def test_cli_adaptive_resume(tmp_path, key):
     assert sorted(r["block"] for r in loaded) == [0, 1, 2]
     # idempotent: nothing pending on a third run
     assert main([blocks, "-o", ckpt, "--tol", "1e-5", "--resume"]) == 0
+
+
+def test_cli_non_rsvd_methods(tmp_path, key):
+    """--method column_id/two_sided_id must not leak sampling kwargs into
+    pivoted_qr (regression: review finding)."""
+    blocks = str(tmp_path / "blocks")
+    write_blocks(blocks, [(40, 30)], key)
+    for method in ("column_id", "row_id", "two_sided_id"):
+        out = str(tmp_path / f"ckpt_{method}")
+        assert main([blocks, "-o", out, "--rank", "6",
+                     "--method", method]) == 0

@@ -49,3 +49,13 @@ def test_config_validation():
         rc.CompressionConfig(rank=3, method="nope")
     with pytest.raises(ValueError, match="produces an SVD"):
         rc.CompressionConfig(rel_tol=0.1, method="column_id")
+
+
+def test_list_path_non_rsvd_methods(key):
+    """Regression: heterogeneous-list branch crashed for ID methods."""
+    blocks = [np.asarray(rc.random_approximate_low_rank_matrix(
+        k, (40, 30), 1.0, 1e-10)) for k in jax.random.split(key, 2)]
+    for m in ("column_id", "row_id", "two_sided_id"):
+        res = rc.compress(blocks, jax.random.key(1),
+                          rc.CompressionConfig.RANK(6, method=m))
+        assert len(res) == 2

@@ -198,3 +198,20 @@ def test_pallas_qrcp_used_mask(key):
     piv2, _ = _select_block_pivots(a, jnp.zeros(32, dtype=bool), 8)
     _, _, piv3 = qrcp_panel(a, 8, interpret=True)
     np.testing.assert_array_equal(np.asarray(piv3), np.asarray(piv2))
+
+
+def test_pallas_qrcp_rank_deficient_pivots_stay_permutation(key):
+    """Regression: the -1 exclusion sentinel must survive norm downdates
+    — rank-deficient inputs previously produced duplicate pivots."""
+    import jax.numpy as jnp
+    from rusty_compression_tpu.ops.pallas.qrcp import qrcp_panel
+
+    A = np.zeros((6, 4), np.float32)
+    A[2, :] = 1.0  # rank one, identical columns
+    _, _, piv = qrcp_panel(jnp.asarray(A), 4, interpret=True)
+    assert sorted(np.asarray(piv)) == [0, 1, 2, 3]
+    used = np.zeros(4, bool)
+    used[0] = True
+    _, _, piv2 = qrcp_panel(jnp.asarray(A), 3, used=jnp.asarray(used),
+                            interpret=True)
+    assert 0 not in np.asarray(piv2)
