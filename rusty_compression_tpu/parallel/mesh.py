@@ -71,18 +71,36 @@ def make_mesh(n_devices: int | None = None,
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
+def _place(x, sharding):
+    """Place a process-local array under a (possibly multi-host) sharding.
+
+    Single-process meshes use ``device_put``; meshes spanning processes
+    need ``make_array_from_callback`` (each process contributes only its
+    addressable shards — valid here because every process holds the full
+    value, derived from shared PRNG keys rather than broadcast)."""
+    if not _spans_processes(sharding.mesh):
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_blocks(blocks, mesh: Mesh, axis: str = "blocks"):
     """Place a ``(B, m, n)`` stack with its leading axis sharded over
     ``axis``; B must divide evenly by the axis size (pad with zero blocks
     upstream — the scheduler does — if it doesn't)."""
     blocks = jnp.asarray(blocks)
     spec = P(axis, *([None] * (blocks.ndim - 1)))
-    return jax.device_put(blocks, NamedSharding(mesh, spec))
+    return _place(blocks, NamedSharding(mesh, spec))
 
 
 def replicate(x, mesh: Mesh):
     """Place a value fully replicated over the mesh."""
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    return _place(jnp.asarray(x), NamedSharding(mesh, P()))
 
 
 def _shard_for_mesh(blocks, key, mesh: Mesh, axis: str):
