@@ -158,7 +158,8 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
     results: list[BlockResult | None] = [None] * len(shapes)
     keys = jax.random.split(key, max(len(groups), 1))
 
-    for gk, ((bm, bn), idxs) in zip(keys, sorted(groups.items())):
+    def dispatch(gk, bm, bn, idxs):
+        """Pack + enqueue one bucket's work (device runs asynchronously)."""
         nb = _batch_bucket(len(idxs), batch_granule)
         stack = np.zeros((nb, bm, bn),
                          dtype=np.result_type(*[np.asarray(blocks[i]).dtype
@@ -171,7 +172,6 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
             factors, ranks, _hist = compress_blocks_adaptive(
                 stack, gk, rel_tol, sample_size, mesh=mesh, axis=axis,
                 **kwargs)
-            ranks = np.asarray(jax.device_get(ranks))
             out_method = "rsvd"  # adaptive factors are SVD containers
         else:
             factors = compress_blocks(stack, gk, rank, method=method,
@@ -179,11 +179,15 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
             ranks = np.full(nb, int(rank))
             out_method = method
         errs = batched_rel_diff_fro(factors, stack)
+        return (bm, bn, idxs, factors, ranks, errs, out_method, t0)
+
+    def collect(work):
+        """Fetch one bucket's finished results and un-pad in place."""
+        bm, bn, idxs, factors, ranks, errs, out_method, t0 = work
         errs = np.asarray(jax.device_get(errs))
-        jax.block_until_ready(factors)
-        dt = time.perf_counter() - t0
-        per_block = dt / len(idxs)
+        ranks = np.asarray(jax.device_get(ranks))
         factors = jax.device_get(factors)
+        per_block = (time.perf_counter() - t0) / len(idxs)
         for slot, i in enumerate(idxs):
             m, n = shapes[i]
             f = _unpad_factors(factors, slot, m, n, out_method)
@@ -195,4 +199,17 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                 index=i, shape=(m, n), bucket=(bm, bn), rank=int(ranks[slot]),
                 rel_residual=float(errs[slot]), wall_time_s=per_block,
                 factors=f)
+
+    # Windowed pipeline: keep up to `window` buckets in flight so host-side
+    # packing of the next bucket overlaps device compute of the current one
+    # (dispatch is async; only `collect` synchronizes). The window bounds
+    # peak device memory to two padded stacks + factors.
+    window = 2
+    in_flight: list = []
+    for gk, ((bm, bn), idxs) in zip(keys, sorted(groups.items())):
+        in_flight.append(dispatch(gk, bm, bn, idxs))
+        if len(in_flight) >= window:
+            collect(in_flight.pop(0))
+    for work in in_flight:
+        collect(work)
     return results  # type: ignore[return-value]
