@@ -13,8 +13,9 @@ The flat re-export below mirrors the reference's prelude-style API
 surface (rusty-compression ``lib.rs:90-102``).
 """
 
-from .linop import (DenseOperator, FactoredOperator, LinearOperator,
-                    as_linear_operator)
+from .linop import (AdjointOperator, CompositeOperator, DenseOperator,
+                    FactoredOperator, LinearOperator, ScaledOperator,
+                    SumOperator, as_linear_operator)
 from .config import CompressionConfig, compress
 from .models.compression import Adaptive, CompressionType, Rank
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
@@ -71,7 +72,8 @@ __version__ = "0.1.0"
 __all__ = [
     # operators
     "LinearOperator", "DenseOperator", "FactoredOperator",
-    "as_linear_operator",
+    "CompositeOperator", "SumOperator", "ScaledOperator",
+    "AdjointOperator", "as_linear_operator",
     # containers & conversions
     "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
     # compression config

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from .utils.dtypes import herm
 
 __all__ = ["LinearOperator", "DenseOperator", "FactoredOperator",
-           "as_linear_operator"]
+           "CompositeOperator", "SumOperator", "ScaledOperator",
+           "AdjointOperator", "as_linear_operator"]
 
 
 class LinearOperator:
@@ -73,6 +74,25 @@ class LinearOperator:
     def to_dense(self):
         """Materialize the operator as a dense matrix (A @ I)."""
         return self.matmat(jnp.eye(self.ncols, dtype=self.dtype))
+
+    # -- operator algebra sugar ---------------------------------------------
+    def __matmul__(self, other):
+        if isinstance(other, LinearOperator):
+            return CompositeOperator(self, other)
+        return self.matmat(other)
+
+    def __add__(self, other):
+        return SumOperator(self, other)
+
+    def __mul__(self, alpha):
+        return ScaledOperator(alpha, self)
+
+    __rmul__ = __mul__
+
+    @property
+    def H(self):
+        """The adjoint operator ``A^H``."""
+        return AdjointOperator(self)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -184,3 +204,154 @@ def as_linear_operator(op) -> LinearOperator:
             "container with apply/conj_apply (QR/LQ containers have no "
             "factored apply — convert via to_mat() or column_id()/row_id())"
         ) from e
+
+
+# ---------------------------------------------------------------------------
+# Operator combinators (matrix-free algebra)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class CompositeOperator(LinearOperator):
+    """Product ``A = L @ R`` of two operators, applied factored.
+
+    The sampling pipelines then cost ``O((cost_L + cost_R) * k)`` without
+    ever forming the product — e.g. compressing ``B @ C`` where both
+    factors are themselves low-rank or structured.
+    """
+
+    def __init__(self, left, right):
+        left, right = as_linear_operator(left), as_linear_operator(right)
+        if left.ncols != right.nrows:
+            raise ValueError(
+                f"cannot compose {left.shape} @ {right.shape}")
+        self.left, self.right = left, right
+
+    @property
+    def shape(self):
+        return (self.left.nrows, self.right.ncols)
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.left.dtype, self.right.dtype)
+
+    def matmat(self, x):
+        return self.left.matmat(self.right.matmat(x))
+
+    def conj_matmat(self, x):
+        return self.right.conj_matmat(self.left.conj_matmat(x))
+
+    def tree_flatten(self):
+        return (self.left, self.right), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.left, obj.right = children
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class SumOperator(LinearOperator):
+    """Sum ``A = B + C`` of conforming operators (e.g. sparse + low-rank)."""
+
+    def __init__(self, *terms):
+        terms = tuple(as_linear_operator(t) for t in terms)
+        if not terms:
+            raise ValueError("SumOperator needs at least one term")
+        if len({t.shape for t in terms}) != 1:
+            raise ValueError(
+                f"shape mismatch: {[t.shape for t in terms]}")
+        self.terms = terms
+
+    @property
+    def shape(self):
+        return self.terms[0].shape
+
+    @property
+    def dtype(self):
+        return jnp.result_type(*[t.dtype for t in self.terms])
+
+    def matmat(self, x):
+        out = self.terms[0].matmat(x)
+        for t in self.terms[1:]:
+            out = out + t.matmat(x)
+        return out
+
+    def conj_matmat(self, x):
+        out = self.terms[0].conj_matmat(x)
+        for t in self.terms[1:]:
+            out = out + t.conj_matmat(x)
+        return out
+
+    def tree_flatten(self):
+        return self.terms, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.terms = tuple(children)
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class ScaledOperator(LinearOperator):
+    """``A = alpha * B`` for a scalar ``alpha``."""
+
+    def __init__(self, alpha, op):
+        self.op = as_linear_operator(op)
+        self.alpha = jnp.asarray(alpha, dtype=self.op.dtype)
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    def matmat(self, x):
+        return self.alpha * self.op.matmat(x)
+
+    def conj_matmat(self, x):
+        return jnp.conjugate(self.alpha) * self.op.conj_matmat(x)
+
+    def tree_flatten(self):
+        return (self.alpha, self.op), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.alpha, obj.op = children
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class AdjointOperator(LinearOperator):
+    """``A = B^H`` — swaps the two protocol products."""
+
+    def __init__(self, op):
+        self.op = as_linear_operator(op)
+
+    @property
+    def shape(self):
+        return (self.op.ncols, self.op.nrows)
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    def matmat(self, x):
+        return self.op.conj_matmat(x)
+
+    def conj_matmat(self, x):
+        return self.op.matmat(x)
+
+    def tree_flatten(self):
+        return (self.op,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.op,) = children
+        return obj

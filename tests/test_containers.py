@@ -262,3 +262,51 @@ class TestFactoredOperator:
         from rusty_compression_tpu.linop import FactoredOperator
         with pytest.raises(TypeError, match="not a factorization container"):
             FactoredOperator(object())
+
+
+class TestOperatorCombinators:
+    """Matrix-free operator algebra (composite/sum/scaled/adjoint)."""
+
+    def test_composite_compression(self, key):
+        import jax
+        k1, k2 = jax.random.split(key)
+        b = rc.random_approximate_low_rank_matrix(k1, (80, 40), 1.0, 1e-8)
+        c = rc.random_approximate_low_rank_matrix(k2, (40, 60), 1.0, 1e-8)
+        op = rc.as_linear_operator(b) @ rc.as_linear_operator(c)
+        dense = np.asarray(b) @ np.asarray(c)
+        assert op.shape == (80, 60)
+        svd = rc.nystrom_svd(op, jax.random.key(3), k=25)
+        assert float(rc.rel_diff_fro(svd.to_mat(), dense)) < 1e-6
+
+    def test_sum_scaled_adjoint(self, key):
+        import jax
+        b = rc.random_gaussian(key, (30, 20))
+        B = rc.as_linear_operator(b)
+        x = np.asarray(rc.random_gaussian(jax.random.key(1), (20, 4)))
+        y = np.asarray(rc.random_gaussian(jax.random.key(2), (30, 4)))
+        bn = np.asarray(b)
+        np.testing.assert_allclose(np.asarray((B + B).matmat(x)),
+                                   2 * bn @ x, atol=1e-12)
+        np.testing.assert_allclose(np.asarray((3.0 * B).conj_matmat(y)),
+                                   3 * bn.T @ y, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(B.H.matmat(y)), bn.T @ y,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(B.H.H.matmat(x)), bn @ x,
+                                   atol=1e-12)
+
+    def test_combinators_jit_and_sample(self, key):
+        import jax
+        b = rc.random_approximate_low_rank_matrix(key, (60, 60), 1.0, 1e-8)
+        op = 0.5 * (rc.as_linear_operator(b) + rc.as_linear_operator(b))
+        q = rc.range_finder(op, jax.random.key(1), 20, power_iters=1)
+        bn = np.asarray(b)
+        qn = np.asarray(q)
+        resid = np.linalg.norm(bn - qn @ (qn.T @ bn)) / np.linalg.norm(bn)
+        assert resid < 1e-2
+
+    def test_shape_mismatch_rejected(self, key):
+        b = rc.as_linear_operator(rc.random_gaussian(key, (8, 4)))
+        with pytest.raises(ValueError, match="cannot compose"):
+            _ = b @ b
+        with pytest.raises(ValueError, match="shape mismatch"):
+            _ = b + b.H
