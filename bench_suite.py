@@ -181,8 +181,11 @@ def main():
             lambda b, key: par.compress_blocks(b, key, k5, mesh=mesh),
             bl, jax.random.key(7), n1=1, n2=3, trials=3)
         eff = (t_1 / t_n) / ndev
+        gate5 = ">= 80% linear" + (
+            "" if on_tpu else " (virtual devices share host cores; "
+            "expected to fail off-TPU)")
         record("5-scaling", "efficiency", eff * 100, "%",
-               ">= 80% linear (same-host proxy)", eff >= 0.0,
+               gate5, eff >= 0.8,
                {"n_devices": ndev, "t_single_s": t_1, "t_mesh_s": t_n})
     else:
         log("[5-scaling] skipped: single device visible")

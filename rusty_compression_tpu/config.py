@@ -103,12 +103,15 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
         kwargs = dict(method=c.method, mesh=mesh,
                       bucket_floor=c.bucket_floor, **common)
         if c.rel_tol is not None:
-            kwargs.update(rel_tol=c.rel_tol, sample_size=c.sample_size)
+            kwargs.update(rel_tol=c.rel_tol, sample_size=c.sample_size,
+                          max_rank=c.max_rank, ortho=c.ortho,
+                          small_svd=c.small_svd)
         else:
             kwargs.update(rank=c.rank)
             if c.method == "rsvd":
                 kwargs.update(oversample=c.oversample,
-                              power_iters=c.power_iters)
+                              power_iters=c.power_iters, ortho=c.ortho,
+                              small_svd=c.small_svd)
             else:
                 kwargs.update(mode=c.qr_mode, block_size=c.block_size)
         return compress_heterogeneous(target, key, **kwargs)
@@ -119,7 +122,7 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
         if c.rel_tol is not None:
             return compress_blocks_adaptive(
                 target, key, c.rel_tol, c.sample_size, c.max_rank,
-                mesh=mesh, **common)
+                mesh=mesh, ortho=c.ortho, small_svd=c.small_svd, **common)
         if c.method == "rsvd":
             kwargs = dict(oversample=c.oversample,
                           power_iters=c.power_iters, ortho=c.ortho,

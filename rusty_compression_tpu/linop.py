@@ -77,7 +77,8 @@ class LinearOperator:
 
     # -- operator algebra sugar ---------------------------------------------
     def __matmul__(self, other):
-        if isinstance(other, LinearOperator):
+        if isinstance(other, LinearOperator) or (
+                hasattr(other, "apply") and hasattr(other, "conj_apply")):
             return CompositeOperator(self, other)
         return self.matmat(other)
 
@@ -300,7 +301,10 @@ class ScaledOperator(LinearOperator):
 
     def __init__(self, alpha, op):
         self.op = as_linear_operator(op)
-        self.alpha = jnp.asarray(alpha, dtype=self.op.dtype)
+        # promote rather than coerce: a complex scalar times a real
+        # operator is a complex operator
+        dt = jnp.result_type(jnp.asarray(alpha).dtype, self.op.dtype)
+        self.alpha = jnp.asarray(alpha, dtype=dt)
 
     @property
     def shape(self):
@@ -308,7 +312,7 @@ class ScaledOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.op.dtype
+        return self.alpha.dtype
 
     def matmat(self, x):
         return self.alpha * self.op.matmat(x)

@@ -106,15 +106,13 @@ class SVD:
         """Truncate before the first ``s_i / s_0 < tol``; raise
         ``CompressionError`` if the spectrum never drops below ``tol``
         (svd.rs:87-101)."""
-        if not (0.0 <= tol < 1.0):
-            raise ValueError("Require 0 <= tol < 1.0")
-        ratios = np.asarray(self.s / self.s[0])
-        below = ratios < tol
-        idx = int(np.argmax(below))
-        if not below[idx]:
+        from .qr import _tolerance_position  # shared scan (qr.rs:190-194)
+
+        pos = _tolerance_position(np.asarray(self.s / self.s[0]), tol)
+        if pos is None:
             raise CompressionError(
                 f"Could not compress to relative tolerance {tol!r}")
-        return self.compress_svd_rank(idx)
+        return self.compress_svd_rank(pos)
 
     def compress(self, compression_type: CompressionType) -> "SVD":
         """Dispatch on the compression selector (svd.rs:60-65)."""

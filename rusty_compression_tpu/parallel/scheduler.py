@@ -71,7 +71,9 @@ class BlockResult:
     bucket: tuple[int, int]          # padded (m, n) it ran at
     rank: int
     rel_residual: float              # relative Frobenius reconstruction err
-    wall_time_s: float               # wall time of its bucket batch / batch
+    wall_time_s: float               # pipelined dispatch->collect latency
+    #   of its bucket / bucket size: includes overlapped host packing of
+    #   the next bucket, so it is a latency figure, not pure compute time
     factors: Any                     # un-padded factor container
 
     def record(self) -> dict:

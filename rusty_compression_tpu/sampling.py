@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .linop import DenseOperator, LinearOperator, as_linear_operator
 from .ops.orthogonalize import cholesky_qr2, orthonormalize
 from .ops.pivoted_qr import pivoted_qr
-from .utils.dtypes import herm, real_dtype
+from .utils.dtypes import eps as _dtype_eps, herm, real_dtype
 from .utils.precision import with_precision
 from .utils.random_matrix import random_gaussian
 
@@ -50,12 +50,6 @@ __all__ = [
 #: HMT probabilistic bound factor 10 * sqrt(2/pi)
 #: (Halko–Martinsson–Tropp §4.3; random_sampling.rs:229-234).
 HMT_TOL_FACTOR = 10.0 * math.sqrt(2.0 / math.pi)
-
-
-def _np_eps(rdt) -> float:
-    import numpy as _np
-
-    return float(_np.finfo(rdt).eps)
 
 
 def max_col_norm(a):
@@ -198,7 +192,7 @@ def _adaptive_loop(op, key, rel_tol, sample_size: int, max_iters: int,
         # a few percent per block far above the floor and must keep
         # iterating toward the tolerance.
         at_floor = max_norm / safe_op_norm < 50.0 * jnp.asarray(
-            _np_eps(rdt), dtype=rdt)
+            _dtype_eps(rdt), dtype=rdt)
         no_progress = max_norm > 0.9 * prev_norm
         stall = jnp.where(jnp.logical_and(at_floor, no_progress),
                           stall + 1, jnp.int32(0))
