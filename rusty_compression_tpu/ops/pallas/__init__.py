@@ -5,6 +5,6 @@ Equivalents of the reference's LAPACK FFI backends (SURVEY.md §2
 hierarchy: VMEM-resident working sets, MXU GEMVs/GEMMs, VPU updates.
 """
 
-from .qrcp import qrcp_panel
+from .qrcp import qrcp_panel, qrcp_panel_complex
 
-__all__ = ["qrcp_panel"]
+__all__ = ["qrcp_panel", "qrcp_panel_complex"]

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["qrcp_panel"]
+__all__ = ["qrcp_panel", "qrcp_panel_complex"]
 
 
 def _qrcp_kernel(a_ref, used_ref, q_ref, r_ref, piv_ref, resid, norms):
@@ -138,4 +138,121 @@ def qrcp_panel(a, k: int, *, used=None, interpret: bool = False):
         ),
         interpret=interpret,
     )(a, used)
+    return q, r, piv[0]
+
+
+# ---------------------------------------------------------------------------
+# Complex QRCP via planar (two-plane real) representation
+# ---------------------------------------------------------------------------
+
+
+def _qrcp_complex_kernel(ar_ref, ai_ref, used_ref, qr_ref, qi_ref,
+                         rr_ref, ri_ref, piv_ref,
+                         res_r, res_i, norms):
+    """Complex pivoted Gram-Schmidt QRCP on (re, im) f32 planes.
+
+    The TPU Pallas datapath has no complex dtype; every complex product
+    is expanded into its four real MXU matvecs. Same pivot rule and
+    reorthogonalization structure as the real kernel above.
+    """
+    m, n = ar_ref.shape
+    k = qr_ref.shape[1]
+
+    res_r[:] = ar_ref[:]
+    res_i[:] = ai_ref[:]
+    norms[:] = jnp.where(
+        used_ref[:] > 0, -1.0,
+        jnp.sum(res_r[:] * res_r[:] + res_i[:] * res_i[:], axis=0,
+                keepdims=True))
+    qr_ref[:] = jnp.zeros_like(qr_ref)
+    qi_ref[:] = jnp.zeros_like(qi_ref)
+    rr_ref[:] = jnp.zeros_like(rr_ref)
+    ri_ref[:] = jnp.zeros_like(ri_ref)
+    piv_ref[:] = jnp.zeros_like(piv_ref)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def body(i, _):
+        j = jnp.argmax(norms[0, :]).astype(jnp.int32)
+        onehot_n = (col_ids == j).astype(jnp.float32)           # (1, n)
+        vr = dot(res_r[:], onehot_n.T)                          # (m, 1)
+        vi = dot(res_i[:], onehot_n.T)
+        # qv = Q^H v  (conjugate transpose in planar form)
+        qv_r = dot(qr_ref[:].T, vr) + dot(qi_ref[:].T, vi)      # (k, 1)
+        qv_i = dot(qr_ref[:].T, vi) - dot(qi_ref[:].T, vr)
+        # v -= Q qv
+        vr = vr - (dot(qr_ref[:], qv_r) - dot(qi_ref[:], qv_i))
+        vi = vi - (dot(qr_ref[:], qv_i) + dot(qi_ref[:], qv_r))
+        nv = jnp.sqrt(jnp.sum(vr * vr + vi * vi))
+        inv = jnp.where(nv > 0, 1.0 / jnp.where(nv > 0, nv, 1.0), 0.0)
+        ur, ui = vr * inv, vi * inv
+        # r_row = u^H resid
+        rrow_r = dot(ur.T, res_r[:]) + dot(ui.T, res_i[:])      # (1, n)
+        rrow_i = dot(ur.T, res_i[:]) - dot(ui.T, res_r[:])
+        # resid -= u r_row
+        res_r[:] = res_r[:] - (ur * rrow_r - ui * rrow_i)
+        res_i[:] = res_i[:] - (ur * rrow_i + ui * rrow_r)
+        down = rrow_r * rrow_r + rrow_i * rrow_i
+        norms[:] = jnp.where(norms[:] < 0.0, norms[:],
+                             jnp.maximum(norms[:] - down, 0.0))
+        norms[:] = jnp.where(col_ids == j, -1.0, norms[:])
+        onehot_k = (k_ids == i).astype(jnp.float32)             # (1, k)
+        qr_ref[:] = qr_ref[:] + ur * onehot_k
+        qi_ref[:] = qi_ref[:] + ui * onehot_k
+        rr_ref[:] = rr_ref[:] + onehot_k.T * rrow_r
+        ri_ref[:] = ri_ref[:] + onehot_k.T * rrow_i
+        piv_ref[:] = jnp.where(k_ids == i, j, piv_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def qrcp_panel_complex(a, k: int, *, used=None, interpret: bool = False):
+    """Complex64 pivoted Gram-Schmidt QR panel, planar Pallas kernel.
+
+    Same contract as ``qrcp_panel`` for complex64 input: returns
+    ``(q, r_orig, piv)`` with complex ``q``/``r_orig`` reassembled from
+    the two real planes.
+    """
+    m, n = a.shape
+    if a.dtype != jnp.complex64:
+        raise ValueError(f"qrcp_panel_complex is c64-only, got {a.dtype}")
+    if used is None:
+        used = jnp.zeros((1, n), dtype=jnp.float32)
+    else:
+        used = jnp.asarray(used).astype(jnp.float32).reshape(1, n)
+    ar = jnp.real(a).astype(jnp.float32)
+    ai = jnp.imag(a).astype(jnp.float32)
+    f32 = jnp.float32
+    qr_, qi_, rr_, ri_, piv = pl.pallas_call(
+        _qrcp_complex_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), f32),
+            jax.ShapeDtypeStruct((m, k), f32),
+            jax.ShapeDtypeStruct((k, n), f32),
+            jax.ShapeDtypeStruct((k, n), f32),
+            jax.ShapeDtypeStruct((1, k), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(5)),
+        scratch_shapes=[
+            pltpu.VMEM((m, n), f32),   # residual real plane
+            pltpu.VMEM((m, n), f32),   # residual imag plane
+            pltpu.VMEM((1, n), f32),   # column norms
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * m * n * k + 16 * m * k * k,
+            bytes_accessed=8 * (m * n + m * k + k * n),
+            transcendentals=k,
+        ),
+        interpret=interpret,
+    )(ar, ai, used)
+    q = (qr_ + 1j * qi_).astype(jnp.complex64)
+    r = (rr_ + 1j * ri_).astype(jnp.complex64)
     return q, r, piv[0]

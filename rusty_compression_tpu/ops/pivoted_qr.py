@@ -249,10 +249,12 @@ def _resolve_mode(mode: str, m: int, n: int, k: int, dtype) -> str:
         return mode
     if k <= 64 or n <= 128:
         # Small problem: sequential pivot rule; fused Pallas kernel on
-        # TPU when supported and the working set fits VMEM, XLA loop
-        # otherwise.
-        if (dtype == jnp.float32 and _pallas_fits(m, n, k)
-                and pallas_available()):
+        # TPU when supported and the working set fits VMEM (complex64
+        # runs the planar two-plane kernel at twice the footprint), XLA
+        # loop otherwise.
+        if dtype == jnp.float32 and _pallas_fits(m, n, k)                 and pallas_available():
+            return "pallas"
+        if dtype == jnp.complex64 and _pallas_fits(2 * m, n, k)                 and pallas_available():
             return "pallas"
         return "gs"
     return "blocked"
@@ -268,10 +270,12 @@ def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample):
     if mode == "gs":
         q, r_orig, piv, used = _qrcp_gs(a, k)
     elif mode == "pallas":
-        from .pallas.qrcp import qrcp_panel
+        from .pallas.qrcp import qrcp_panel, qrcp_panel_complex
 
         interpret = jax.default_backend() != "tpu"
-        q, r_orig, piv = qrcp_panel(a, k, interpret=interpret)
+        panel_fn = (qrcp_panel_complex if a.dtype == jnp.complex64
+                    else qrcp_panel)
+        q, r_orig, piv = panel_fn(a, k, interpret=interpret)
         used = jnp.zeros((n,), dtype=bool).at[piv].set(True)
     elif mode == "blocked":
         b = min(block_size, k)

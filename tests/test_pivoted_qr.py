@@ -215,3 +215,25 @@ def test_pallas_qrcp_rank_deficient_pivots_stay_permutation(key):
     _, _, piv2 = qrcp_panel(jnp.asarray(A), 3, used=jnp.asarray(used),
                             interpret=True)
     assert 0 not in np.asarray(piv2)
+
+
+def test_pallas_qrcp_complex_matches_gs(key):
+    """The planar complex kernel reproduces the XLA QRCP exactly."""
+    import jax.numpy as jnp
+    a = rc.random_approximate_low_rank_matrix(
+        key, (70, 50), 1.0, 1e-6, dtype=jnp.complex64)
+    q1, r1, i1 = rc.pivoted_qr(a, max_rank=20, mode="pallas")
+    q2, r2, i2 = rc.pivoted_qr(a, max_rank=20, mode="gs")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+    qn = np.asarray(q1)
+    assert np.linalg.norm(np.conj(qn.T) @ qn - np.eye(20)) < 1e-5
+
+
+def test_pallas_qrcp_c128_rejected(key):
+    import jax.numpy as jnp
+    a = rc.random_gaussian(key, (16, 8), dtype=jnp.complex128)
+    with pytest.raises(ValueError, match="c64-only"):
+        from rusty_compression_tpu.ops.pallas.qrcp import qrcp_panel_complex
+        qrcp_panel_complex(a, 4, interpret=True)
