@@ -26,7 +26,8 @@ import jax
 # time; honor an explicit JAX_PLATFORMS=cpu request (see tests/conftest).
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)  # TPU has no f64
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -36,11 +37,13 @@ import rusty_compression_tpu as rc  # noqa: E402
 
 def main():
     m, n = 500, 200
-    rel_tol, sample_size = 1e-5, 5
+    on_tpu = jax.default_backend() == "tpu"
+    dt = jnp.float32 if on_tpu else jnp.float64
+    rel_tol, sample_size = (1e-4 if on_tpu else 1e-5), 5
     key = jax.random.key(0)
 
     mat = rc.random_approximate_low_rank_matrix(
-        key, (m, n), sigma_max=1.0, sigma_min=1e-10, dtype=jnp.float64)
+        key, (m, n), sigma_max=1.0, sigma_min=1e-10, dtype=dt)
 
     print(f"Adaptively sampling the range of a {m}x{n} matrix "
           f"(tol {rel_tol:.0e}, block size {sample_size})...")

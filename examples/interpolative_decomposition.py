@@ -21,7 +21,8 @@ import jax
 # time; honor an explicit JAX_PLATFORMS=cpu request (see tests/conftest).
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_enable_x64", True)
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)  # TPU has no f64
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -31,11 +32,12 @@ import rusty_compression_tpu as rc  # noqa: E402
 def main():
     m, n, rank = 500, 100, 20
     key = jax.random.key(42)
+    dt = jnp.float64 if jax.default_backend() != "tpu" else jnp.float32
 
     print(f"Compressing a {m}x{n} matrix with geomspace spectrum "
           f"(1 -> 1e-10) at rank {rank}.\n")
     mat = rc.random_approximate_low_rank_matrix(
-        key, (m, n), sigma_max=1.0, sigma_min=1e-10, dtype=jnp.float64)
+        key, (m, n), sigma_max=1.0, sigma_min=1e-10, dtype=dt)
 
     # Pivoted QR -> rank truncation (qr.rs:251-253, 169-184)
     qr = rc.QR.compute_from(mat).compress(rc.CompressionType.RANK(rank))
