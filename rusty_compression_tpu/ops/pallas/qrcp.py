@@ -21,8 +21,9 @@ HBM traffic: read A once, write Q/R once — the O(k) intermediate
 states never leave the chip. This is the panel factorization of the
 blocked HQRRP path and the whole factorization for panel-sized inputs.
 
-f32 only (the TPU Pallas datapath has no complex support; f64 has no
-MXU). Other dtypes route to the XLA implementation.
+f32 (``qrcp_panel``) and complex64 (``qrcp_panel_complex``, planar
+two-plane representation — the TPU Pallas datapath has no complex
+dtype). f64/c128 route to the XLA implementation (no f64 MXU).
 """
 
 from __future__ import annotations
