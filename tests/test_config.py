@@ -59,3 +59,15 @@ def test_list_path_non_rsvd_methods(key):
         res = rc.compress(blocks, jax.random.key(1),
                           rc.CompressionConfig.RANK(6, method=m))
         assert len(res) == 2
+
+
+def test_adaptive_knobs_reach_pipelines(key):
+    """Regression (review): max_rank/ortho/small_svd must flow through
+    the stack and list adaptive paths, not just the single-matrix path."""
+    a = rc.random_approximate_low_rank_matrix(key, (100, 80), 1.0, 1e-10)
+    cfg = rc.CompressionConfig.ADAPTIVE(1e-3, max_rank=24, sample_size=8)
+    svd, ranks, hist = rc.compress(jnp.stack([a, a]), jax.random.key(1), cfg)
+    # padded rank == ceil(24/8)*8 = 24, NOT min(m, n) = 80
+    assert svd.u.shape[-1] == 24
+    res = rc.compress([np.asarray(a)], jax.random.key(2), cfg)
+    assert res[0].rank <= 24
