@@ -219,6 +219,10 @@ def qrcp_panel_complex(a, k: int, *, used=None, interpret: bool = False):
     Same contract as ``qrcp_panel`` for complex64 input: returns
     ``(q, r_orig, piv)`` with complex ``q``/``r_orig`` reassembled from
     the two real planes.
+
+    Explicit opt-in only (``pivoted_qr(mode="pallas")`` on c64): some TPU
+    backends reject the compiled kernel (UNIMPLEMENTED), so auto mode
+    keeps complex input on the XLA path.
     """
     m, n = a.shape
     if a.dtype != jnp.complex64:
