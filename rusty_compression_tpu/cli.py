@@ -55,7 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--tol", type=float,
                       help="adaptive relative tolerance (rank per block)")
     ap.add_argument("--method", default="rsvd",
-                    choices=["rsvd", "column_id", "row_id", "two_sided_id"],
+                    choices=["rsvd", "nystrom", "column_id", "row_id",
+                             "two_sided_id"],
                     help="fixed-rank factorization (ignored with --tol)")
     ap.add_argument("--power-iters", type=int, default=1)
     ap.add_argument("--oversample", type=int, default=8)
@@ -111,10 +112,12 @@ def main(argv=None) -> int:
     else:
         kwargs.update(rank=args.rank, method=args.method)
         if args.method == "rsvd":
-            # sampling knobs only exist on the sketch-based pipeline;
+            # sampling knobs only exist on the sketch-based pipelines;
             # the ID methods go through pivoted QR directly
             kwargs.update(power_iters=args.power_iters,
                           oversample=args.oversample)
+        elif args.method == "nystrom":
+            kwargs.update(oversample=args.oversample)
 
     results = compress_heterogeneous(
         blocks, jax.random.key(args.seed), mesh=mesh, **kwargs)

@@ -34,7 +34,8 @@ class CompressionConfig:
     # -- what to compute ---------------------------------------------------
     rank: int | None = None          # fixed target rank
     rel_tol: float | None = None     # adaptive relative tolerance
-    method: str = "rsvd"             # rsvd | column_id | row_id | two_sided_id
+    method: str = "rsvd"             # rsvd | nystrom | column_id | row_id
+    #                                #   | two_sided_id
 
     # -- sampling knobs (reference defaults, random_sampling.rs:63-89) ------
     oversample: int = 5              # p
@@ -54,7 +55,7 @@ class CompressionConfig:
         if (self.rank is None) == (self.rel_tol is None):
             raise ValueError(
                 "set exactly one of rank= (fixed) or rel_tol= (adaptive)")
-        if self.method not in ("rsvd", "column_id", "row_id",
+        if self.method not in ("rsvd", "nystrom", "column_id", "row_id",
                                "two_sided_id"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.rel_tol is not None and self.method != "rsvd":
@@ -112,6 +113,9 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
                 kwargs.update(oversample=c.oversample,
                               power_iters=c.power_iters, ortho=c.ortho,
                               small_svd=c.small_svd)
+            elif c.method == "nystrom":
+                kwargs.update(oversample=c.oversample,
+                              small_svd=c.small_svd)
             else:
                 kwargs.update(mode=c.qr_mode, block_size=c.block_size)
         return compress_heterogeneous(target, key, **kwargs)
@@ -127,6 +131,9 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
             kwargs = dict(oversample=c.oversample,
                           power_iters=c.power_iters, ortho=c.ortho,
                           small_svd=c.small_svd, **common)
+        elif c.method == "nystrom":
+            kwargs = dict(oversample=c.oversample, small_svd=c.small_svd,
+                          **common)
         else:
             kwargs = dict(mode=c.qr_mode, block_size=c.block_size, **common)
         return compress_blocks(target, key, c.rank, method=c.method,
@@ -143,5 +150,10 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
     if c.method == "rsvd":
         return rsvd_block(target, key, c.rank, c.oversample, c.power_iters,
                           c.ortho, c.small_svd, **common)
+    if c.method == "nystrom":
+        from .parallel.batch import nystrom_block
+
+        return nystrom_block(target, key, c.rank, c.oversample,
+                             c.small_svd, **common)
     return block_fns[c.method](target, key, c.rank, mode=c.qr_mode,
                                block_size=c.block_size, **common)

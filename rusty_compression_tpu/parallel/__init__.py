@@ -18,11 +18,13 @@ from .batch import (
     adaptive_rsvd_block,
     batched_adaptive_rsvd,
     batched_column_id,
+    batched_nystrom,
     batched_rel_diff_fro,
     batched_row_id,
     batched_rsvd,
     batched_two_sided_id,
     column_id_block,
+    nystrom_block,
     row_id_block,
     rsvd_block,
     two_sided_id_block,
@@ -44,9 +46,9 @@ from .scheduler import (
 from .sharded import RowShardedOperator
 
 __all__ = [
-    "rsvd_block", "column_id_block", "row_id_block", "two_sided_id_block",
+    "rsvd_block", "nystrom_block", "column_id_block", "row_id_block", "two_sided_id_block",
     "adaptive_rsvd_block", "batched_adaptive_rsvd",
-    "batched_rsvd", "batched_column_id", "batched_row_id",
+    "batched_rsvd", "batched_nystrom", "batched_column_id", "batched_row_id",
     "batched_two_sided_id", "batched_rel_diff_fro",
     "make_mesh", "shard_blocks", "replicate", "compress_blocks",
     "compress_blocks_adaptive",

@@ -32,10 +32,12 @@ from ..utils.precision import with_precision
 
 __all__ = [
     "rsvd_block",
+    "nystrom_block",
     "column_id_block",
     "row_id_block",
     "two_sided_id_block",
     "batched_rsvd",
+    "batched_nystrom",
     "batched_column_id",
     "batched_row_id",
     "batched_two_sided_id",
@@ -67,6 +69,18 @@ def rsvd_block(a, key, rank: int, oversample: int = 5,
     q = range_finder(op, key, rank + oversample, power_iters, ortho)
     svd = SVD.compute_from_range_estimate(q, op, method=small_svd)
     return svd.compress_svd_rank(rank)
+
+
+@with_precision
+def nystrom_block(a, key, rank: int, oversample: int = 8,
+                  small_svd: str = "direct", **nystrom_kwargs) -> SVD:
+    """Single-pass generalized Nystrom SVD of one block — the
+    bandwidth-optimal fixed-rank path (2 operator passes; see
+    sampling.nystrom_svd for the accuracy trade)."""
+    from ..sampling import nystrom_svd
+
+    return nystrom_svd(a, key, k=rank, oversample=oversample,
+                       small_svd=small_svd, **nystrom_kwargs)
 
 
 @with_precision
@@ -121,6 +135,11 @@ def batched_rsvd(blocks, key, rank: int, oversample: int = 5,
     return _batched(rsvd_block, blocks, key, rank,
                     dict(oversample=oversample, power_iters=power_iters,
                          **qr_kwargs))
+
+
+def batched_nystrom(blocks, key, rank: int, **kwargs) -> SVD:
+    """Single-pass Nystrom SVD of a block stack (leading batch axis)."""
+    return _batched(nystrom_block, blocks, key, rank, kwargs)
 
 
 def batched_column_id(blocks, key, rank: int, **qr_kwargs) -> ColumnID:

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .batch import (
     batched_column_id,
+    batched_nystrom,
     batched_row_id,
     batched_rsvd,
     batched_two_sided_id,
@@ -40,6 +41,7 @@ __all__ = [
 
 _METHODS = {
     "rsvd": batched_rsvd,
+    "nystrom": batched_nystrom,
     "column_id": batched_column_id,
     "row_id": batched_row_id,
     "two_sided_id": batched_two_sided_id,

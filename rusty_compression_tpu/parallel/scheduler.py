@@ -108,7 +108,7 @@ def _unpad_factors(factors, i: int, m: int, n: int, method: str):
     """Slice block ``i``'s factors back to the original (m, n) frame."""
     f = jax.tree_util.tree_map(lambda leaf: leaf[i], factors)
     cls = type(factors)
-    if method == "rsvd":
+    if method in ("rsvd", "nystrom"):
         return cls(f.u[:m, :], f.s, f.vt[:, :n])
     if method == "column_id":
         return cls(f.c[:m, :], f.z[:, :n], f.col_ind)

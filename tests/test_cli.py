@@ -62,3 +62,11 @@ def test_cli_non_rsvd_methods(tmp_path, key):
         out = str(tmp_path / f"ckpt_{method}")
         assert main([blocks, "-o", out, "--rank", "6",
                      "--method", method]) == 0
+
+
+def test_cli_nystrom(tmp_path, key):
+    blocks = str(tmp_path / "blocks")
+    write_blocks(blocks, [(50, 40)], key)
+    out = str(tmp_path / "ckpt_ny")
+    assert main([blocks, "-o", out, "--rank", "8",
+                 "--method", "nystrom"]) == 0

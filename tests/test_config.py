@@ -71,3 +71,15 @@ def test_adaptive_knobs_reach_pipelines(key):
     assert svd.u.shape[-1] == 24
     res = rc.compress([np.asarray(a)], jax.random.key(2), cfg)
     assert res[0].rank <= 24
+
+
+def test_nystrom_method_all_layers(key):
+    """nystrom routes through single/stack/list paths."""
+    a = rc.random_approximate_low_rank_matrix(key, (80, 60), 1.0, 1e-10)
+    cfg = rc.CompressionConfig.RANK(12, method="nystrom", oversample=10)
+    f = rc.compress(a, jax.random.key(1), cfg)
+    assert type(f).__name__ == "SVD" and f.rank == 12
+    s = rc.compress(jnp.stack([a, a]), jax.random.key(2), cfg)
+    assert s.u.shape == (2, 80, 12)
+    res = rc.compress([np.asarray(a)], jax.random.key(3), cfg)
+    assert res[0].rank == 12 and res[0].rel_residual < 0.2
