@@ -139,9 +139,9 @@ def compress_blocks(blocks, key, rank: int, method: str = "rsvd",
     ``jax.device_get`` / ``distributed.gather_factors``). Without a mesh
     it is plain on-chip batching.
 
-    ``method`` is one of ``"rsvd"``, ``"column_id"``, ``"row_id"``,
-    ``"two_sided_id"``; extra kwargs go to the per-block pipeline
-    (``oversample``, ``power_iters``, ``mode`` …).
+    ``method`` is one of ``"rsvd"``, ``"nystrom"``, ``"column_id"``,
+    ``"row_id"``, ``"two_sided_id"``; extra kwargs go to the per-block
+    pipeline (``oversample``, ``power_iters``, ``mode`` …).
     """
     if method not in _METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of "
