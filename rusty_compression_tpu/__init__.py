@@ -15,7 +15,7 @@ surface (rusty-compression ``lib.rs:90-102``).
 
 from .linop import (AdjointOperator, CompositeOperator, DenseOperator,
                     FactoredOperator, LinearOperator, ScaledOperator,
-                    SumOperator, as_linear_operator)
+                    SparseOperator, SumOperator, as_linear_operator)
 from .config import CompressionConfig, compress
 from .models.compression import Adaptive, CompressionType, Rank
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
@@ -73,7 +73,7 @@ __all__ = [
     # operators
     "LinearOperator", "DenseOperator", "FactoredOperator",
     "CompositeOperator", "SumOperator", "ScaledOperator",
-    "AdjointOperator", "as_linear_operator",
+    "AdjointOperator", "SparseOperator", "as_linear_operator",
     # containers & conversions
     "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
     # compression config

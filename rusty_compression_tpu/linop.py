@@ -25,7 +25,7 @@ from .utils.dtypes import herm
 
 __all__ = ["LinearOperator", "DenseOperator", "FactoredOperator",
            "CompositeOperator", "SumOperator", "ScaledOperator",
-           "AdjointOperator", "as_linear_operator"]
+           "AdjointOperator", "SparseOperator", "as_linear_operator"]
 
 
 class LinearOperator:
@@ -358,4 +358,52 @@ class AdjointOperator(LinearOperator):
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.op,) = children
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseOperator(LinearOperator):
+    """Sparse matrix (``jax.experimental.sparse`` BCOO) as an operator.
+
+    Products cost O(nnz * k); combined with the algebra above this
+    covers the classic "sparse near-field + low-rank far-field"
+    structure: ``SumOperator(SparseOperator(S), FactoredOperator(F))``.
+    """
+
+    def __init__(self, a):
+        from jax.experimental import sparse as jsparse
+
+        if not isinstance(a, jsparse.JAXSparse):
+            a = jsparse.BCOO.fromdense(jnp.asarray(a))
+        if a.ndim != 2:
+            raise ValueError(f"expected a sparse matrix, got ndim {a.ndim}")
+        self.a = a
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matmat(self, x):
+        return self.a @ jnp.asarray(x)
+
+    def conj_matmat(self, x):
+        # (A^H x) = (x^H A)^H — right-multiplication keeps the sparse
+        # operand in its native layout
+        return herm(herm(jnp.asarray(x)) @ self.a)
+
+    def to_dense(self):
+        return self.a.todense()
+
+    # pytree protocol
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.a,) = children
         return obj

@@ -310,3 +310,40 @@ class TestOperatorCombinators:
             _ = b @ b
         with pytest.raises(ValueError, match="shape mismatch"):
             _ = b + b.H
+
+
+class TestSparseOperator:
+    def test_products_exact(self, key):
+        import jax
+        from jax.experimental import sparse as jsparse
+        rng = np.random.default_rng(0)
+        dense = np.zeros((60, 40))
+        idx = rng.integers(0, [60, 40], (120, 2))
+        dense[idx[:, 0], idx[:, 1]] = rng.standard_normal(120)
+        op = rc.SparseOperator(jsparse.BCOO.fromdense(jnp.asarray(dense)))
+        x = rng.standard_normal((40, 3))
+        y = rng.standard_normal((60, 3))
+        np.testing.assert_allclose(np.asarray(op.matmat(jnp.asarray(x))),
+                                   dense @ x, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(op.conj_matmat(jnp.asarray(y))),
+                                   dense.T @ y, atol=1e-12)
+
+    def test_sparse_plus_lowrank_compression(self, key):
+        """Sparse near-field + low-rank far-field: the sum compresses to
+        the far-field rank when the near-field is below tolerance."""
+        import jax
+        rng = np.random.default_rng(1)
+        n = 120
+        near = np.zeros((n, n))
+        idx = rng.integers(0, n, (200, 2))
+        near[idx[:, 0], idx[:, 1]] = 1e-9 * rng.standard_normal(200)
+        far = rc.SVD.compute_from(rc.random_approximate_low_rank_matrix(
+            key, (n, n), 1.0, 1e-12)).compress_svd_rank(12)
+        op = rc.SparseOperator(jnp.asarray(near)) + rc.as_linear_operator(far)
+        q, hist = rc.sample_range_adaptive(op, jax.random.key(2), 1e-5, 6)
+        assert q.shape[1] <= 24  # far-field rank + slack, not full n
+        dense = near + np.asarray(far.to_mat())
+        qn = np.asarray(q)
+        resid = np.linalg.norm(dense - qn @ (qn.T @ dense)) / \
+            np.linalg.norm(dense)
+        assert resid < 1e-4
