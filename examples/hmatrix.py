@@ -111,6 +111,11 @@ def main():
     dt = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
     tol = 1e-4 if dt == jnp.float32 else 1e-6
 
+    if not adm:
+        print("no admissible blocks at this size — nothing to compress "
+              "(increase N_POINTS); exiting")
+        return
+
     # far-field: one heterogeneous adaptive stream through the scheduler
     far_blocks = [np.asarray(laplace_kernel_block(
         pts[jnp.asarray(s.indices)], pts[jnp.asarray(t.indices)], dtype=dt))

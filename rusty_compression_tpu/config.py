@@ -62,6 +62,10 @@ class CompressionConfig:
             raise ValueError(
                 "adaptive (rel_tol) compression produces an SVD; use "
                 "method='rsvd'")
+        if self.method == "nystrom" and self.power_iters:
+            raise ValueError(
+                "nystrom is the single-pass method; power_iters does not "
+                "apply (use method='rsvd' for power iteration)")
 
     # convenience constructors mirroring the reference enum spelling
     @classmethod

@@ -196,6 +196,10 @@ def as_linear_operator(op) -> LinearOperator:
         return op
     if hasattr(op, "apply") and hasattr(op, "conj_apply"):
         return FactoredOperator(op)
+    from jax.experimental import sparse as _jsparse
+
+    if isinstance(op, _jsparse.JAXSparse):
+        return SparseOperator(op)
     try:
         return DenseOperator(jnp.asarray(op))
     except (TypeError, ValueError) as e:

@@ -249,12 +249,13 @@ def _resolve_mode(mode: str, m: int, n: int, k: int, dtype) -> str:
         return mode
     if k <= 64 or n <= 128:
         # Small problem: sequential pivot rule; fused Pallas kernel on
-        # TPU when supported and the working set fits VMEM (complex64
-        # runs the planar two-plane kernel at twice the footprint), XLA
-        # loop otherwise.
-        if dtype == jnp.float32 and _pallas_fits(m, n, k)                 and pallas_available():
-            return "pallas"
-        if dtype == jnp.complex64 and _pallas_fits(2 * m, n, k)                 and pallas_available():
+        # TPU when supported and the working set fits VMEM, XLA loop
+        # otherwise. The complex64 planar kernel exists (mode="pallas"
+        # explicitly) but is NOT auto-selected: some TPU backends reject
+        # it (UNIMPLEMENTED) and the availability probe only covers the
+        # f32 kernel.
+        if (dtype == jnp.float32 and _pallas_fits(m, n, k)
+                and pallas_available()):
             return "pallas"
         return "gs"
     return "blocked"

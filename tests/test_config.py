@@ -83,3 +83,14 @@ def test_nystrom_method_all_layers(key):
     assert s.u.shape == (2, 80, 12)
     res = rc.compress([np.asarray(a)], jax.random.key(3), cfg)
     assert res[0].rank == 12 and res[0].rel_residual < 0.2
+
+
+def test_nystrom_power_iters_rejected():
+    with pytest.raises(ValueError, match="single-pass"):
+        rc.CompressionConfig.RANK(5, method="nystrom", power_iters=2)
+
+
+def test_bcoo_coerces_to_sparse_operator():
+    from jax.experimental import sparse as jsparse
+    op = rc.as_linear_operator(jsparse.BCOO.fromdense(jnp.eye(6)))
+    assert type(op).__name__ == "SparseOperator"

@@ -237,3 +237,19 @@ def test_pallas_qrcp_c128_rejected(key):
     with pytest.raises(ValueError, match="c64-only"):
         from rusty_compression_tpu.ops.pallas.qrcp import qrcp_panel_complex
         qrcp_panel_complex(a, 4, interpret=True)
+
+
+def test_auto_mode_never_selects_pallas_for_complex(key):
+    """Regression (review): the c64 kernel is explicit-only — some TPU
+    backends reject it and the probe only covers f32."""
+    import jax.numpy as jnp
+    import rusty_compression_tpu.ops.pivoted_qr as pq
+    from rusty_compression_tpu.ops.pivoted_qr import _resolve_mode
+
+    old = pq._pallas_available
+    pq._pallas_available = True  # simulate a TPU with working f32 pallas
+    try:
+        assert _resolve_mode("auto", 64, 48, 16, jnp.complex64) == "gs"
+        assert _resolve_mode("auto", 64, 48, 16, jnp.float32) == "pallas"
+    finally:
+        pq._pallas_available = old
