@@ -64,9 +64,48 @@ def cpu_reference_rsvd(a, k, p, q, rng):
     return (qy @ u_b)[:, :k], s[:k], vt[:k, :]
 
 
+def backend_healthy(timeout_s: int | None = None) -> bool:
+    """Probe the default backend in a subprocess (a hung TPU tunnel
+    blocks uninterruptibly in-process; a subprocess can be killed)."""
+    import subprocess
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("RC_BENCH_PROBE_TIMEOUT", 90))
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float((jnp.ones((256,256))@jnp.ones((256,256)))"
+            "[0,0]))")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
 def main():
+    # Tunneled TPU backends sometimes hang on any device op; rather than
+    # hang the harness, fall back to a CPU run (clearly labeled in the
+    # metric's device field) so a JSON line is always emitted.
+    if os.environ.get("RC_BENCH_FALLBACK") != "1" and not backend_healthy():
+        import subprocess
+
+        log("default backend unhealthy (probe timed out); "
+            "falling back to a small CPU config")
+        env = dict(os.environ, RC_BENCH_FALLBACK="1", JAX_PLATFORMS="cpu",
+                   BENCH_M="1024", BENCH_N="1024", BENCH_K="64")
+        proc = subprocess.run([sys.executable, __file__], env=env,
+                              capture_output=True, text=True, timeout=1200)
+        sys.stderr.write(proc.stderr)
+        print(proc.stdout.strip().splitlines()[-1] if proc.stdout.strip()
+              else '{"metric": "bench_failed", "value": 0, "unit": "none", '
+                   '"vs_baseline": 0}')
+        return
+
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("RC_BENCH_FALLBACK") == "1":
+        jax.config.update("jax_platforms", "cpu")
 
     from rusty_compression_tpu.parallel.batch import rsvd_block
     from rusty_compression_tpu.utils.random_matrix import random_gaussian
