@@ -126,6 +126,7 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                            batch_granule: int | None = None,
                            rel_tol: float | None = None,
                            sample_size: int = 10,
+                           window: int = 2,
                            **kwargs) -> list[BlockResult]:
     """Compress a heterogeneous list of dense blocks.
 
@@ -138,6 +139,8 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
     regardless of bucket execution order. With a ``mesh``, each bucket's
     stack is sharded over ``axis`` (stacks are padded up to a multiple of
     the axis size with zero blocks, which are compressed and discarded).
+    ``window`` buckets are kept in flight (host packing of the next bucket
+    overlaps device compute; peak device memory scales with the window).
     """
     if (rank is None) == (rel_tol is None):
         raise ValueError("pass exactly one of rank= or rel_tol=")
@@ -206,7 +209,7 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
     # packing of the next bucket overlaps device compute of the current one
     # (dispatch is async; only `collect` synchronizes). The window bounds
     # peak device memory to two padded stacks + factors.
-    window = 2
+    t_start = time.perf_counter()
     in_flight: list = []
     for gk, ((bm, bn), idxs) in zip(keys, sorted(groups.items())):
         in_flight.append(dispatch(gk, bm, bn, idxs))
@@ -214,4 +217,18 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
             collect(in_flight.pop(0))
     for work in in_flight:
         collect(work)
+    elapsed = time.perf_counter() - t_start
+    if results and elapsed > 0:
+        total_bytes = sum(np.asarray(b).nbytes for b in blocks)
+        _log_throughput(len(results), elapsed, total_bytes)
     return results  # type: ignore[return-value]
+
+
+def _log_throughput(n_blocks: int, elapsed: float, total_bytes: int) -> None:
+    """One aggregate line per stream (the honest throughput figure —
+    per-block wall_time_s is pipelined latency, see BlockResult)."""
+    import logging
+
+    logging.getLogger("rusty_compression_tpu.scheduler").info(
+        "compressed %d blocks in %.2fs: %.1f blocks/s, %.2f GB/s",
+        n_blocks, elapsed, n_blocks / elapsed, total_bytes / elapsed / 1e9)
