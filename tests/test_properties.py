@@ -16,7 +16,7 @@ import rusty_compression_tpu as rc
 dims = st.integers(min_value=3, max_value=40)
 seeds = st.integers(min_value=0, max_value=2**31 - 1)
 
-SETTINGS = dict(max_examples=20, deadline=None)
+SETTINGS = dict(max_examples=10, deadline=None)
 
 
 @settings(**SETTINGS)
