@@ -300,3 +300,15 @@ def test_adaptive_slow_decay_still_converges(key):
     qn, an = np.asarray(q), np.asarray(a)
     resid = np.linalg.norm(an - qn @ (qn.T @ an)) / np.linalg.norm(an)
     assert resid <= 5e-4
+
+
+def test_north_star_tolerance_1e8(key):
+    """BASELINE.md's production tolerance (1e-8, f64): full adaptive
+    pipeline reaches it end to end."""
+    a = rc.random_approximate_low_rank_matrix(key, (300, 200), 1.0, 1e-14)
+    svd, hist = rc.randomized_adaptive_svd(a, jax.random.key(1),
+                                           rel_tol=1e-8, sample_size=10)
+    err = float(rc.rel_diff_fro(svd.to_mat(), a))
+    assert err < 5e-8
+    # the residual history crossed the tolerance
+    assert hist[-1][1] < 1e-8
