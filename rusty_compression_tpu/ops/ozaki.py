@@ -1,0 +1,152 @@
+"""Ozaki-scheme high-precision GEMM on the TPU MXU.
+
+The reference framework reaches tol<=1e-8 accuracy because every GEMM runs
+in native f64 through BLAS (rusty-compression src/qr.rs:408-416 instantiates
+all algorithms for f64/c128; ndarray ``.dot`` lowers to dgemm). TPUs have no
+f64 MXU path, and XLA's f64 emulation is unusably slow at size (CLAUDE.md).
+
+This module implements the error-free-splitting GEMM of Ozaki et al.
+(Ozaki, Ogita, Oishi, Rump, "Error-free transformations of matrix
+multiplication", Numer. Algorithms 59, 2012; applied to low-precision
+matrix units by Ootomo et al., ozIMMU): each operand is split into slices
+of ``w`` mantissa bits such that every slice-pair product accumulates in
+f32 **without any rounding** on the MXU (bf16 inputs, f32 accumulator).
+The only rounding happens when the per-magnitude-level partial sums are
+combined — done in double-float (utils/doublefloat.py) on the VPU.
+
+Exactness condition: slice values are multiples of ``2^-(p+1)w`` bounded
+by ``2^-pw`` (w explicit bits, exact in bf16 for w <= 8); a pair product
+is a multiple of its unit bounded by ``2^2w`` units; summing k of them
+spans ``<= k * 2^2w <= 2^24`` f32-significand units for
+``2w + log2(k) <= 24`` — i.e. w=5 supports k up to 16384 (the north-star
+maximum block dimension, BASELINE.md config 4).
+
+Accuracy: ``terms`` slices cover ``terms*w`` bits below the per-row /
+per-column scale; terms=7 gives ~1e-10 relative, terms=10 reaches the
+double-float storage floor (~2^-49). Cost: ``terms*(terms+1)/2`` bf16
+GEMMs (28 at terms=7) — still far faster than any non-MXU path.
+"""
+
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.doublefloat import DF, df, fast_two_sum, two_sum
+
+__all__ = ["ozaki_split", "ozaki_matmul", "ozaki_matmul_split", "ozaki_flops",
+           "DEFAULT_TERMS", "DEFAULT_W"]
+
+DEFAULT_W = 5          # slice mantissa bits: 2*5 + log2(16384) = 24 <= 24
+DEFAULT_TERMS = 7      # ~1e-10 relative accuracy
+
+
+def _exp2_int(e):
+    """Exact 2^e for int32 e in [-126, 127], by exponent-bit construction.
+
+    ``jnp.exp2`` is NOT exact on integer inputs on every backend (CPU XLA
+    returned 2^21 + 1 for exp2(21.0)), which silently destroys the
+    error-free-split guarantee — so the scale is built bitwise.
+    """
+    bits = ((e + 127) << 23).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _pow2_scale(x_hi, axis):
+    """Per-fiber exact power-of-two scale ``2^ceil(log2 max|x|)``."""
+    mu = jnp.max(jnp.abs(x_hi), axis=axis, keepdims=True)
+    m, e = jnp.frexp(jnp.maximum(mu, jnp.float32(1e-38)))  # mu = m * 2^e
+    e = jnp.where(m == 0.5, e - 1, e)  # mu an exact power of two: keep it
+    e = jnp.clip(e, -126, 127).astype(jnp.int32)
+    return _exp2_int(e), _exp2_int(-e)
+
+
+def ozaki_split(x, num_slices: int, *, w: int = DEFAULT_W, contract_axis: int):
+    """Split a DF (or f32) matrix into exact limited-mantissa bf16 slices.
+
+    Args:
+      x: DF or f32 array, 2-D.
+      num_slices: slices to extract (5 covers plain f32; 10 covers DF).
+      w: mantissa bits per slice.
+      contract_axis: the axis that a subsequent matmul contracts over;
+        scaling is constant along it so scales factor out of the sum.
+
+    Returns:
+      ``(slices, scale)`` — slices ``(num_slices, *x.shape)`` bf16 with
+      ``x ~= scale * sum_p slices[p]`` (exact to num_slices*w bits below
+      scale), scale a power-of-two array broadcastable against the
+      matmul's output.
+    """
+    x = df(x)
+    scale, inv_scale = _pow2_scale(x.hi, contract_axis)
+    r_hi = x.hi * inv_scale  # exact (power of two)
+    r_lo = x.lo * inv_scale
+    chunks = []
+    for p in range(num_slices):
+        s = jnp.float32(2.0 ** ((p + 1) * w))
+        c = jnp.trunc(r_hi * s) / s
+        chunks.append(c.astype(jnp.bfloat16))  # exact: <= w explicit bits
+        r_hi = r_hi - c  # exact (c = leading bits of r_hi)
+        r_hi, r_lo = two_sum(r_hi, r_lo)
+    return jnp.stack(chunks), scale
+
+
+def _dot_f32(a_bf16, b_bf16):
+    return jax.lax.dot_general(
+        a_bf16, b_bf16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
+                       *, terms: int = DEFAULT_TERMS) -> DF:
+    """High-precision GEMM from pre-split operands (see ``ozaki_split``).
+
+    Keeps slice pairs with ``p + q < terms``. Every slice-pair GEMM output
+    is *exact* in f32; each one is folded into the double-float accumulator
+    individually (summing even two of them in plain f32 first would round
+    at 2^-24 relative to their diagonal's magnitude — a ~2^-29 global
+    error that defeats the scheme; caught by TestOzakiGemm).
+    """
+    sa = int(a_slices.shape[0])
+    sb = int(b_slices.shape[0])
+    acc = None  # DF accumulator, built from largest diagonal down
+    for d in range(terms):
+        for p in range(min(d + 1, sa)):
+            q = d - p
+            if q >= sb:
+                continue
+            g = _dot_f32(a_slices[p], b_slices[q])
+            acc = DF(g, jnp.zeros_like(g)) if acc is None else \
+                _df_add_f32_exactish(acc, g)
+    out_scale = a_scale * b_scale  # powers of two; exact multiply below
+    return DF(acc.hi * out_scale, acc.lo * out_scale)
+
+
+def _df_add_f32_exactish(x: DF, y) -> DF:
+    """DF + f32 with full renormalization (y smaller in magnitude)."""
+    s, e = two_sum(x.hi, y)
+    e = e + x.lo
+    s, e = fast_two_sum(s, e)
+    return DF(s, e)
+
+
+def ozaki_matmul(a, b, *, terms: int = DEFAULT_TERMS, w: int = DEFAULT_W,
+                 slices_a: int | None = None,
+                 slices_b: int | None = None) -> DF:
+    """``a @ b`` to ~``terms*w``-bit accuracy; a (m,k) and b (k,n) are DF
+    or f32 (an f32 operand with limited dynamic range can use fewer slices — pass
+    ``slices_a``/``slices_b``; 5 slices keep 25 bits below each row/col max)."""
+    a = df(a)
+    b = df(b)
+    sa = min(terms, slices_a) if slices_a else terms
+    sb = min(terms, slices_b) if slices_b else terms
+    a_slices, a_scale = ozaki_split(a, sa, w=w, contract_axis=1)
+    b_slices, b_scale = ozaki_split(b, sb, w=w, contract_axis=0)
+    return ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
+                              terms=terms)
+
+
+def ozaki_flops(m: int, n: int, k: int, terms: int = DEFAULT_TERMS) -> int:
+    """MXU FLOPs of one ozaki GEMM (for MFU accounting)."""
+    return terms * (terms + 1) * m * n * k  # (terms*(terms+1)/2) * 2mnk
