@@ -1,0 +1,340 @@
+"""tol <= 1e-8 randomized SVD on TPU via compensated precision.
+
+The reference reaches the 1e-8 accuracy class by running natively in
+f64/c128 through LAPACK (rusty-compression src/qr.rs:408-416; 1e-12 test
+contracts at src/svd.rs:289-298). This TPU has no usable f64 path at size
+(CLAUDE.md), so this module reaches the same class with *iterative
+refinement for low-rank approximation*:
+
+1. **Round 1** — the fast f32 HMT pipeline (``sampling.range_finder`` +
+   small SVD, all MXU) produces ``A1 = U1 W1`` with residual at the
+   f32 floor (~1e-6..1e-7 relative).
+2. **Exact residual** — ``R = A - U1 @ W1`` computed in double-float via
+   the Ozaki-scheme GEMM (``ops.ozaki``): the f32 factors are *exact*
+   inputs, so R carries the unexplained part of A *coherently* (it is
+   low-rank: rank(R) <= rank(A_tail) + rank(A1)), at ~1e-11 accuracy.
+3. **Round 2** — the same fast f32 pipeline compresses ``R.hi``
+   (``R.lo`` is ~6e-8 * ||R|| ~ 1e-13 * ||A|| — negligible), capturing
+   the directions round 1 missed.
+4. **Merge** — ``[U1 | U2]`` is re-orthonormalized to double-float
+   accuracy (Ozaki CholeskyQR2, ~1e-11 orthogonality), the projection
+   ``B = Q^H A`` is recomputed in Ozaki arithmetic, and the small
+   (L, n) matrix B gets an exact f64 SVD on the host. The final
+   residual is pure projection error ``||(I - QQ^H) A||`` — the f32
+   rounding noise of rounds 1/2 never enters the output factors.
+
+Steps 2-4 run on the MXU as bf16 slice products (exact in f32 per
+slice pair); the only host work is O(L^2 n) LAPACK on the tiny core.
+Everything is orchestrated host-side stage by stage (each stage jitted)
+rather than one giant jit: the host round-trips are O(L^2) scalars plus
+the (L, n) core, amortized across blocks by ``refined_rsvd_batch``.
+
+Design note (TPU-first): this replaces the reference's "just call dgemm/
+dgesdd in f64" strategy — a direct translation would run at the
+emulated-f64 path's ~100x slowdown. Complex (c128-class) inputs are not
+yet routed through this module (the f32/c64 paths in ``sampling`` cover
+the reference's complex API at f32 accuracy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linop import DenseOperator
+from .models.svd import SVD
+from .ops.ozaki import ozaki_matmul_split, ozaki_split
+from .sampling import range_finder
+from .utils.doublefloat import DF, df, df_from_f64, df_sub, df_to_f64
+from .utils.errors import CompressionError
+from .utils.precision import with_precision
+
+__all__ = [
+    "RefinedSVD", "refined_rsvd", "df_cholesky_qr2", "df_project",
+    "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
+]
+
+#: Slice-pair budget for DF x DF products (~2^-35 relative error —
+#: three decades below the 1e-8 target).
+DEFAULT_TERMS_PRODUCT = 7
+#: Slices fully covering a double-float operand (49 bits / w=5).
+DEFAULT_SLICES_DF = 10
+#: Slices fully covering a plain f32 operand (24 bits / w=5).
+SLICES_F32 = 5
+
+
+def _tri_inv(r64: np.ndarray) -> np.ndarray:
+    """f64 inverse of a small upper-triangular matrix (host LAPACK)."""
+    return np.linalg.solve(r64, np.eye(r64.shape[0], dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# Jitted device stages
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_slices", "contract_axis"))
+def _split(x: DF, num_slices: int, contract_axis: int):
+    return ozaki_split(x, num_slices, contract_axis=contract_axis)
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _gram(y_slices, y_scale, terms: int) -> DF:
+    """``Y^H Y`` from a column-scaled split of Y (slices reused
+    transposed for the left operand — the per-column scale of Y is the
+    per-row scale of Y^T, constant along the contraction axis)."""
+    yt = jnp.swapaxes(y_slices, -1, -2)
+    return ozaki_matmul_split(yt, y_scale.T, y_slices, y_scale, terms=terms)
+
+
+@functools.partial(jax.jit, static_argnames=("terms", "slices_b"))
+def _apply_right(y: DF, b: DF, terms: int, slices_b: int) -> DF:
+    """``Y @ B`` with Y a (m, L) DF iterate and B small (L, L')."""
+    ys, ysc = ozaki_split(y, DEFAULT_SLICES_DF, contract_axis=1)
+    bs, bsc = ozaki_split(b, slices_b, contract_axis=0)
+    return ozaki_matmul_split(ys, ysc, bs, bsc, terms=terms)
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _residual(a: DF, u1, w1, terms: int) -> DF:
+    """``A - U1 @ W1`` in double-float.
+
+    U1/W1 are f32, but a 5-slice split is NOT exact for them: slices
+    cover bits relative to the per-fiber max, so an element 2^-e below
+    its row max keeps only ``25 - e`` of its 24 bits. 8 slices push the
+    truncation floor to 2^-40 of the row scale (terms=8 keeps the
+    dropped-pair error at the same level) — R comes out exact to
+    ~1e-12 * sigma_1, which the refined span then inherits. (A 5-slice
+    residual floors the whole pipeline at ~3e-8 * sigma_1 — the
+    regression in tests/test_highacc.py.)
+    """
+    s = max(terms, 8)
+    us, usc = ozaki_split(df(u1), s, contract_axis=1)
+    ws, wsc = ozaki_split(df(w1), s, contract_axis=0)
+    p = ozaki_matmul_split(us, usc, ws, wsc, terms=s)
+    return df_sub(a, p)
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _project(q: DF, a_col_slices, a_col_scale, terms: int) -> DF:
+    """``B = Q^H A`` from a cached column-scaled split of A."""
+    qt = DF(q.hi.T, q.lo.T)
+    qs, qsc = ozaki_split(qt, DEFAULT_SLICES_DF, contract_axis=1)
+    return ozaki_matmul_split(qs, qsc, a_col_slices, a_col_scale,
+                              terms=terms)
+
+
+# ---------------------------------------------------------------------------
+# Double-float orthonormalization (hybrid device/host)
+# ---------------------------------------------------------------------------
+
+
+#: Effective unit roundoff of the Ozaki products at the default budget.
+_U_OZAKI = 2.0 ** -35
+
+
+def df_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
+                   always_shift: bool = False):
+    """One CholeskyQR pass in Ozaki arithmetic.
+
+    Gram on the MXU (exact bf16 slice products), Cholesky + triangular
+    inversion of the tiny (L, L) factor in f64 on the host, then
+    ``Q = Y @ R^{-1}`` back on the MXU. Returns ``(q, r64)`` with ``q``
+    a device DF and ``r64`` the host f64 triangular factor.
+
+    ``always_shift`` applies the Fukaya et al. shifted-CholeskyQR shift
+    ``11 (m L + L (L+1)) u ||G||`` (u = the Ozaki-product roundoff) so
+    the factorization exists for any numerically full-rank Y — the
+    first pass of ``df_cholesky_qr2`` on an ill-conditioned merge.
+
+    Replaces the reference's LAPACK ``?orgqr`` Q materialization
+    (pivoted_qr.rs:104-114) for the high-accuracy path; see
+    ops/orthogonalize.py for the plain-f32 equivalents.
+    """
+    ys, ysc = _split(y, DEFAULT_SLICES_DF, 0)
+    g = df_to_f64(_gram(ys, ysc, terms))
+    g = (g + g.T) / 2.0
+    m, l = y.shape[-2], g.shape[0]
+    if always_shift:
+        shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
+    else:
+        # Tiny guard for iterates that are rank-deficient at the DF floor.
+        shift = 4.0 * np.finfo(np.float64).eps * np.trace(g) / l
+    r64 = np.linalg.cholesky(g + shift * np.eye(l)).T
+    rinv = df_from_f64(_tri_inv(r64))
+    q = _apply_right(y, rinv, terms, DEFAULT_SLICES_DF)
+    return q, r64
+
+
+def df_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
+                    shifted: bool = False):
+    """CholeskyQR2 in Ozaki arithmetic: orthogonality to ~2^-35.
+
+    Two plain passes handle cond(Y) below ~2e5 (cond^2 * 2^-35 < 1).
+    ``shifted=True`` prepends an always-shifted pass (DF analogue of
+    shifted CholeskyQR3), extending the reach to arbitrarily overlapping
+    inputs such as merged f32 basis blocks whose deflated columns came
+    out near-parallel to the existing basis.
+    """
+    if shifted:
+        y, r0 = df_cholesky_qr(y, terms, always_shift=True)
+    q1, r1 = df_cholesky_qr(y, terms)
+    q2, r2 = df_cholesky_qr(q1, terms)
+    r = r2 @ r1
+    return q2, (r @ r0 if shifted else r)
+
+
+def df_project(q: DF, a_col_split, terms: int = DEFAULT_TERMS_PRODUCT) -> DF:
+    """``Q^H A`` against a cached ``ozaki_split(A, contract_axis=0)``."""
+    return _project(q, a_col_split[0], a_col_split[1], terms)
+
+
+# ---------------------------------------------------------------------------
+# The refined rSVD driver
+# ---------------------------------------------------------------------------
+
+
+class RefinedSVD(NamedTuple):
+    """High-accuracy SVD: device DF left factor, host f64 s / Vt.
+
+    The (m, k) ``u`` stays on device in double-float (its natural form
+    for further device work — e.g. factored applies via two Ozaki
+    GEMMs); ``s``/``vt`` come from the host f64 core SVD. ``to_f64()``
+    materializes the f64 triple on host.
+    """
+
+    u: DF
+    s: np.ndarray
+    vt: np.ndarray
+    history: tuple
+
+    @property
+    def rank(self) -> int:
+        return int(self.s.shape[0])
+
+    def to_f64(self):
+        return df_to_f64(self.u), self.s, self.vt
+
+    def to_svd(self) -> SVD:
+        """Device-f32 view (drops the low parts) as a standard ``SVD``."""
+        return SVD(self.u.hi, jnp.asarray(self.s, jnp.float32),
+                   jnp.asarray(self.vt, jnp.float32))
+
+    def residual_fro(self, a64: np.ndarray) -> float:
+        """Host f64 ``||A - U S Vt||_F / ||A||_F`` (the bench gate)."""
+        u64 = df_to_f64(self.u)
+        r = a64 - u64 @ (self.s[:, None] * self.vt)
+        return float(np.linalg.norm(r) / np.linalg.norm(a64))
+
+
+@with_precision
+def _orthonormalize_f32(y):
+    from .ops.orthogonalize import shifted_cholesky_qr3
+    return shifted_cholesky_qr3(y)[0]
+
+
+@with_precision
+def _f32_round(a_hi, key, size: int, power_iters: int):
+    """One fast-pipeline round: f32 range finder + small-sketch SVD.
+
+    Returns ``(u, w)`` with ``w = s * vt`` — the f32 rank-``size``
+    approximation ``a_hi ~= u @ w`` (svd.rs:171-183 pattern).
+    """
+    q = range_finder(DenseOperator(a_hi), key, size,
+                     power_iters=power_iters, ortho="auto")
+    svd = SVD.compute_from_range_estimate(q, DenseOperator(a_hi))
+    w = svd.s.astype(svd.vt.dtype)[:, None] * svd.vt
+    return svd.u, w
+
+
+def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
+                 oversample: int = 10, power_iters: int = 2,
+                 refine_rounds: int = 1,
+                 terms: int = DEFAULT_TERMS_PRODUCT,
+                 round_rank: int | None = None) -> RefinedSVD:
+    """Randomized SVD of ``a`` to the f64 accuracy class on TPU.
+
+    Args:
+      a: (m, n) real matrix — host f64 array or device ``DF``.
+      key: PRNG key for the sketches.
+      rank: target rank of each f32 round (default: ``round_rank`` or
+        derived from tol search space); the final factorization is
+        truncated to ``rank`` (if given) after the merge.
+      tol: relative tolerance for the final truncation (reference
+        ``compress`` semantics, svd.rs:87-101: truncate before the first
+        ``s_i/s_0 < tol``; raises ``CompressionError`` if the spectrum
+        never drops below tol).
+      oversample: extra sketch columns per round (HMT p).
+      power_iters: subspace iterations per f32 round (HMT q).
+      refine_rounds: residual-compression rounds after round 1. One
+        round reaches ~1e-13 + spectral-tail; two are available for
+        pathological spectra.
+      terms: Ozaki slice-pair budget for the merge-stage products.
+      round_rank: per-round capture rank (defaults to ``rank``; must be
+        given when only ``tol`` is supplied).
+
+    Returns a ``RefinedSVD``; ``history`` holds the estimated residual
+    after each round (f32-norm estimates, diagnostic only).
+    """
+    if rank is None and round_rank is None:
+        raise ValueError("need rank= or round_rank= (the per-round "
+                         "capture size cannot be derived from tol alone)")
+    k = int(round_rank if round_rank is not None else rank)
+    a = df(a) if not isinstance(a, DF) else a
+    if jnp.iscomplexobj(a.hi):
+        raise NotImplementedError(
+            "refined_rsvd covers real dtypes; complex high-accuracy "
+            "lands via 4x real Ozaki products (tracked in BASELINE.md)")
+    m, n = a.shape
+    l = min(k + int(oversample), m, n)
+
+    keys = jax.random.split(key, 1 + refine_rounds)
+    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
+    basis = jnp.asarray(u1, jnp.float32)
+    history = []
+    r = a
+    u_i, w_i = u1, w1
+    for i in range(refine_rounds):
+        r = _residual(r, u_i, w_i, terms=10)
+        history.append(float(jnp.linalg.norm(r.hi)))
+        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
+        # The new block overlaps span(basis) (the residual carries the
+        # previous round's *in-span* factor error too), so the raw
+        # concatenation is near rank-deficient. Deflate in f32 (twice is
+        # enough) and re-orthonormalize; near-noise columns come out as
+        # harmless random directions — the projection B is recomputed
+        # exactly below, so spurious directions only add truncatable
+        # rows.
+        d = u_i - basis @ (basis.T @ u_i)
+        d = d - basis @ (basis.T @ d)
+        basis = jnp.concatenate([basis, _orthonormalize_f32(d)], axis=1)
+
+    # Polish the merged basis to ~2^-35 orthogonality (span-preserving).
+    # The shifted first pass is required: deflated near-noise columns
+    # can come out of the f32 orthonormalization with substantial
+    # overlap onto the existing basis, so the merge is not guaranteed
+    # well-conditioned.
+    y = DF(basis, jnp.zeros_like(basis))
+    q, _ = df_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
+
+    a_col = _split(a, DEFAULT_SLICES_DF, 0)
+    b = df_to_f64(df_project(q, a_col, terms))
+    uh, s, vt = np.linalg.svd(b, full_matrices=False)
+
+    kf = s.shape[0]
+    if tol is not None:
+        below = np.nonzero(s / s[0] < tol)[0]
+        if below.size == 0:
+            raise CompressionError(
+                f"Could not compress to relative tolerance {tol!r}")
+        kf = int(below[0])
+    if rank is not None:
+        kf = min(kf, int(rank))
+    uh = uh[:, :kf]
+
+    u = _apply_right(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
+    return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history))

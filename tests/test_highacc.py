@@ -1,0 +1,124 @@
+"""Refined (compensated-precision) rSVD — the tol<=1e-8 pipeline.
+
+The reference hits this accuracy class natively in f64 (src/qr.rs:408-416,
+test contracts src/svd.rs:289-298); highacc.py reaches it from f32/bf16
+hardware via Ozaki GEMMs + iterative refinement. These tests validate the
+full pipeline against true f64 on CPU; the TPU measurement lives in
+bench_suite.py (config 6).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rusty_compression_tpu.highacc import (
+    RefinedSVD, df_cholesky_qr2, refined_rsvd)
+from rusty_compression_tpu.utils.doublefloat import DF, df_from_f64, df_to_f64
+from rusty_compression_tpu.utils.errors import CompressionError
+
+
+def decaying_matrix(seed, m, n, decay_rank=100, floor=1e-12):
+    """Exponential spectrum to 1e-10 over ``decay_rank`` ranks, then a
+    flat floor — a spectrum that *supports* tol 1e-8 at moderate rank
+    (unlike the geomspace-over-min(m,n) fixture, where 1e-8 needs rank
+    ~0.8 min(m,n))."""
+    rng = np.random.default_rng(seed)
+    k = min(m, n)
+    sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)), floor)
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    return (u * sig) @ v.T
+
+
+class TestRefinedRSVD:
+    def test_reaches_1e8_class(self):
+        # The headline contract: one refinement round lands the residual
+        # two decades inside the 5e-8 gate. A 5-slice residual split
+        # (the regression fixed in _residual) floors this at ~3e-8.
+        a = decaying_matrix(0, 512, 512)
+        out = refined_rsvd(a, jax.random.PRNGKey(0), rank=110,
+                           refine_rounds=1)
+        assert out.residual_fro(a) < 5e-9
+
+    def test_refinement_improves_on_f32(self):
+        a = decaying_matrix(1, 384, 512)
+        r0 = refined_rsvd(a, jax.random.PRNGKey(0), rank=100,
+                          refine_rounds=0).residual_fro(a)
+        r1 = refined_rsvd(a, jax.random.PRNGKey(0), rank=100,
+                          refine_rounds=1).residual_fro(a)
+        assert r0 < 5e-6          # f32 floor
+        assert r1 < r0 / 20       # refinement buys >1 decade
+        assert r1 < 5e-9
+
+    def test_tall_matrix(self):
+        a = decaying_matrix(2, 768, 256, decay_rank=80)
+        out = refined_rsvd(a, jax.random.PRNGKey(2), rank=90,
+                           refine_rounds=1)
+        assert out.residual_fro(a) < 5e-9
+
+    def test_tolerance_truncation_matches_spectrum(self):
+        # Reference compress semantics (svd.rs:87-101): truncate before
+        # the first s_i/s_0 < tol; achieved rank must sit at the
+        # spectrum's 1e-8 crossing (sigma_i = 10^(-10 i/99) < 1e-8 at
+        # i = 80).
+        a = decaying_matrix(3, 512, 512)
+        out = refined_rsvd(a, jax.random.PRNGKey(3), round_rank=110,
+                           tol=1e-8)
+        assert 78 <= out.rank <= 82
+        res = out.residual_fro(a)
+        assert res < 5e-8
+        # residual consistent with the truncated spectrum position
+        assert res > 1e-9
+
+    def test_tolerance_unreachable_raises(self):
+        a = decaying_matrix(4, 256, 256)
+        with pytest.raises(CompressionError):
+            refined_rsvd(a, jax.random.PRNGKey(4), round_rank=60,
+                         tol=1e-30)
+
+    def test_requires_rank_or_round_rank(self):
+        a = decaying_matrix(5, 128, 128)
+        with pytest.raises(ValueError):
+            refined_rsvd(a, jax.random.PRNGKey(5), tol=1e-8)
+
+    def test_output_types(self):
+        a = decaying_matrix(6, 256, 192, decay_rank=60)
+        out = refined_rsvd(a, jax.random.PRNGKey(6), rank=70,
+                           refine_rounds=1)
+        assert isinstance(out, RefinedSVD)
+        assert isinstance(out.u, DF)
+        u64, s, vt = out.to_f64()
+        assert u64.dtype == np.float64 and s.dtype == np.float64
+        assert u64.shape == (256, 70) and vt.shape == (70, 192)
+        assert np.all(np.diff(s) <= 0)
+        # u columns orthonormal to well below the 1e-8 class
+        assert np.abs(u64.T @ u64 - np.eye(70)).max() < 1e-8
+        # f32 view round-trips into the standard container
+        svd32 = out.to_svd()
+        assert svd32.u.dtype == jnp.float32
+        assert svd32.rank == 70
+
+
+class TestDFCholeskyQR:
+    def test_orthogonality_beyond_f32(self):
+        rng = np.random.default_rng(0)
+        y = df_from_f64(np.linalg.qr(rng.standard_normal((512, 64)))[0])
+        q, r = df_cholesky_qr2(y)
+        q64 = df_to_f64(q)
+        # ~2^-35 per slice-pair plus k-fold dropped-pair accumulation
+        assert np.abs(q64.T @ q64 - np.eye(64)).max() < 1e-8
+
+    def test_shifted_handles_duplicated_columns(self):
+        # The merge case: near-identical columns (cond ~ 1e7 in f32).
+        rng = np.random.default_rng(1)
+        base = np.linalg.qr(rng.standard_normal((256, 32)))[0]
+        y64 = np.concatenate(
+            [base, base + 1e-7 * rng.standard_normal((256, 32))], axis=1)
+        q, r = df_cholesky_qr2(df_from_f64(y64), shifted=True)
+        q64 = df_to_f64(q)
+        assert np.isfinite(q64).all()
+        assert np.abs(q64.T @ q64 - np.eye(64)).max() < 1e-6
+        # span preserved: Y must be reconstructible from Q
+        resid = y64 - q64 @ (q64.T @ y64)
+        assert np.abs(resid).max() < 1e-6
