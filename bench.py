@@ -82,14 +82,45 @@ def backend_healthy(timeout_s: int | None = None) -> bool:
         return False
 
 
+def backend_healthy_with_retry() -> bool:
+    """Retry the health probe for a bounded window before giving up.
+
+    TPU-tunnel outages here last on the order of an hour (CLAUDE.md);
+    a single failed probe at capture time would permanently record a
+    CPU number for the round. Retries every ~2 min for
+    ``RC_BENCH_PROBE_WINDOW`` seconds (default 25 min, 0 = single
+    probe) until the device answers.
+    """
+    window = float(os.environ.get("RC_BENCH_PROBE_WINDOW", 1500))
+    deadline = time.monotonic() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        if backend_healthy():
+            if attempt > 1:
+                log(f"backend recovered on probe attempt {attempt}")
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log(f"backend probe failed {attempt}x over "
+                f"{window:.0f}s window; giving up")
+            return False
+        wait = min(120.0, remaining)
+        log(f"backend probe {attempt} failed; retrying in {wait:.0f}s "
+            f"({remaining:.0f}s left in window)")
+        time.sleep(wait)
+
+
 def main():
     # Tunneled TPU backends sometimes hang on any device op; rather than
-    # hang the harness, fall back to a CPU run (clearly labeled in the
-    # metric's device field) so a JSON line is always emitted.
-    if os.environ.get("RC_BENCH_FALLBACK") != "1" and not backend_healthy():
+    # hang the harness, retry for a bounded window, then fall back to a
+    # CPU run whose metric name says so (VERDICT r1: a near-identical
+    # metric name on a different problem size misleads).
+    if (os.environ.get("RC_BENCH_FALLBACK") != "1"
+            and not backend_healthy_with_retry()):
         import subprocess
 
-        log("default backend unhealthy (probe timed out); "
+        log("default backend unhealthy (probe window exhausted); "
             "falling back to a small CPU config")
         env = dict(os.environ, RC_BENCH_FALLBACK="1", JAX_PLATFORMS="cpu",
                    BENCH_M="1024", BENCH_N="1024", BENCH_K="64")
@@ -179,8 +210,14 @@ def main():
         log(f"reference-style numpy/LAPACK pipeline: {t_cpu*1e3:.1f} ms "
             f"-> speedup {vs_baseline:.1f}x")
 
+    fallback = os.environ.get("RC_BENCH_FALLBACK") == "1"
+    name = f"rsvd_{M}x{N}_k{RANK}_q{POWER_ITERS}_f32_compression_throughput"
+    if fallback:
+        # A different machine AND a different problem size — the metric
+        # name must not shadow the TPU headline (VERDICT r1, weak #8).
+        name = f"cpu_fallback_{name}"
     print(json.dumps({
-        "metric": f"rsvd_{M}x{N}_k{RANK}_q{POWER_ITERS}_f32_compression_throughput",
+        "metric": name,
         "value": round(gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs_baseline, 3),

@@ -190,6 +190,43 @@ def main():
     else:
         log("[5-scaling] skipped: single device visible")
 
+    # ---- config 6: tol-1e-8 refined rSVD (the north-star tolerance) ----
+    # The f64-accuracy-class pipeline (highacc.refined_rsvd): f32 HMT
+    # rounds + Ozaki-GEMM residual refinement + DF merge. Runs on the
+    # MXU as bf16 slice products — THIS is the per-chip GB/s at tol
+    # 1e-8 the BASELINE.json primary metric asks for. Bytes counted at
+    # f64 width (the data is f64-class, matching the reference's dgemm
+    # pipelines and the CPU-host comparison rows).
+    from rusty_compression_tpu.highacc import refined_rsvd
+
+    m6 = 1024 if SMALL else 4096
+    rank_decay, r_gen = (60, 96) if SMALL else (120, 160)
+    rng6 = np.random.default_rng(6)
+    sig6 = 10.0 ** (-10.0 * np.arange(r_gen) / (rank_decay - 1))
+    u6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
+    v6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
+    a6 = (u6 * sig6) @ v6.T
+    k6 = int(rank_decay * 1.1)
+    tol6 = 1e-8
+
+    def run6():
+        return refined_rsvd(a6, jax.random.key(8), round_rank=k6,
+                            tol=tol6, refine_rounds=1)
+
+    out6 = run6()  # compile warmup (every jitted stage)
+    walls = []
+    for _ in range(2 if SMALL else 3):
+        t0 = time.perf_counter()
+        out6 = run6()
+        walls.append(time.perf_counter() - t0)
+    wall6 = min(walls)
+    resid6 = out6.residual_fro(a6)
+    gbps6 = m6 * m6 * 8 / wall6 / 1e9
+    record("6-refined-1e-8", "throughput", gbps6, "GB/s",
+           f"rel resid <= 5x{tol6:g}", resid6 <= 5 * tol6,
+           {"wall_s": wall6, "rel_residual": float(resid6),
+            "rank": out6.rank, "walls": walls})
+
     with open("BENCH_SUITE.jsonl", "a") as f:
         stamp = {"ts": time.time(), "results": results}
         f.write(json.dumps(stamp) + "\n")
