@@ -244,8 +244,12 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     Returns ``(u, w)`` with ``w = s * vt`` — the f32 rank-``size``
     approximation ``a_hi ~= u @ w`` (svd.rs:171-183 pattern).
     """
+    # svqb: the power iterate's condition is sigma_1/sigma_l of the
+    # *remaining* spectrum — beyond CholeskyQR-family reach (1/u) when
+    # a round spans >7 decades in f32. Householder would also work but
+    # runs off-MXU; svqb is all-GEMM plus one tiny eigh.
     q = range_finder(DenseOperator(a_hi), key, size,
-                     power_iters=power_iters, ortho="auto")
+                     power_iters=power_iters, ortho="svqb")
     svd = SVD.compute_from_range_estimate(q, DenseOperator(a_hi))
     w = svd.s.astype(svd.vt.dtype)[:, None] * svd.vt
     return svd.u, w

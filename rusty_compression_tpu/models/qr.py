@@ -32,14 +32,23 @@ __all__ = ["QR", "LQ"]
 
 
 def _tolerance_position(diag_ratios, tol: float):
-    """Index of the first entry with ratio < tol, or None.
+    """Truncation rank for a relative tolerance, or None if unreachable.
 
-    Mirrors the scan of qr.rs:190-194 / svd.rs:92-95. Host-boundary
-    operation (concretizes device values).
+    Mirrors the scan of qr.rs:190-194 / svd.rs:92-95 — but against the
+    *suffix-max envelope* of the ratios: the cut lands at the first
+    position from which every later ratio is below ``tol``. For the
+    strictly non-increasing diagonals LAPACK ``?geqp3`` guarantees (and
+    for sorted singular values) this is identical to the reference's
+    first-crossing scan; for this framework's blocked randomized-pivot
+    RRQR, whose ``|r_ii|`` are only *approximately* non-increasing
+    (ops/pivoted_qr.py), it prevents a transient dip from truncating
+    early. Host-boundary operation (concretizes device values).
     """
     if not (0.0 <= tol < 1.0):
         raise ValueError("Require 0 <= tol < 1.0")
-    below = np.asarray(diag_ratios) < tol
+    ratios = np.abs(np.asarray(diag_ratios))
+    envelope = np.maximum.accumulate(ratios[::-1])[::-1]
+    below = envelope < tol
     idx = np.argmax(below)
     if not below[idx]:
         return None

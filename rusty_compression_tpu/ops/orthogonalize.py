@@ -35,7 +35,7 @@ from ..utils.dtypes import eps, herm
 from ..utils.precision import with_precision
 
 __all__ = ["cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
-           "orthonormalize"]
+           "svqb", "orthonormalize"]
 
 
 def _solve_rt(y, r):
@@ -108,12 +108,47 @@ def shifted_cholesky_qr3(y):
 
 
 @with_precision
+def svqb(y, passes: int = 3):
+    """SVQB orthonormalization (Stathopoulos & Wu 2002): robust at ANY
+    condition number, all-GEMM plus one tiny (l, l) eigh per pass.
+
+    ``G = Y^H Y`` is diagonally scaled, eigendecomposed, eigenvalues
+    clipped at ``l * eps * lambda_max``, and ``Q = Y D V L^{-1/2}``.
+    Directions below the clip (numerically dead — e.g. power-iterate
+    columns whose singular weight sits below the dtype's noise floor,
+    cond ~ 1e11 in f32) come out as bounded near-orthonormal fillers
+    instead of poisoning the whole basis — the failure mode of
+    CholeskyQR-family kernels beyond cond ~ 1/u (shifted CholeskyQR3
+    included), observed as ortho-error ~1 on TPU power iterations over
+    10-decade spectra. Each pass contracts the condition number by roughly the
+    clipping ratio; three passes take cond 1e11 to machine-precision
+    orthogonality in f32 (tests/test_orthogonalize.py). Dominant directions come out first (descending
+    eigenvalue order), matching the QR-family column convention.
+    """
+    l = y.shape[-1]
+    for _ in range(passes):
+        g = herm(y) @ y
+        dg = jnp.real(jnp.diagonal(g, axis1=-2, axis2=-1))
+        d = jnp.where(dg > 0, jax.lax.rsqrt(jnp.maximum(dg, 1e-30)), 1.0)
+        d = d.astype(y.dtype)
+        gs = g * d[..., :, None] * d[..., None, :]
+        lam, v = jnp.linalg.eigh(gs)
+        clip = l * eps(y.dtype) * jnp.maximum(lam[..., -1:], 1e-30)
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, clip)).astype(y.dtype)
+        y = (y * d[..., None, :]) @ (v * inv_sqrt[..., None, :])
+        y = y[..., ::-1]  # descending eigenvalue order
+    return y
+
+
+@with_precision
 def orthonormalize(y, method: str = "auto"):
     """Orthonormal basis of the columns of tall-skinny ``y``.
 
     Returns ``q`` only (the common need in the sampling pipelines).
     ``method``: ``"auto"`` (scholqr3 on TPU, Householder elsewhere),
-    ``"qr"``, ``"cholqr2"``, ``"scholqr3"``.
+    ``"qr"``, ``"cholqr2"``, ``"scholqr3"``, ``"svqb"`` (robust at any
+    condition number — required when a single operator application
+    spans more decades than the dtype's precision).
     """
     if method == "auto":
         method = "scholqr3" if jax.default_backend() == "tpu" else "qr"
@@ -124,4 +159,6 @@ def orthonormalize(y, method: str = "auto"):
         return cholesky_qr2(y)[0]
     if method == "scholqr3":
         return shifted_cholesky_qr3(y)[0]
+    if method == "svqb":
+        return svqb(y)
     raise ValueError(f"unknown orthonormalization method {method!r}")

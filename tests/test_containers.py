@@ -8,6 +8,7 @@ two-sided ID with entrywise skeleton checks
 4-dtype × thin/thick matrix with the geomspace-spectrum fixture.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -347,3 +348,53 @@ class TestSparseOperator:
         resid = np.linalg.norm(dense - qn @ (qn.T @ dense)) / \
             np.linalg.norm(dense)
         assert resid < 1e-4
+
+
+class TestToleranceEnvelope:
+    """Tolerance truncation over non-monotone diagonals (VERDICT r1 #5).
+
+    Blocked randomized-pivot RRQR guarantees only *approximately*
+    non-increasing |r_ii| (ops/pivoted_qr.py); the tolerance scan must
+    use the suffix-max envelope so a transient dip cannot truncate
+    early. Reference contract: qr.rs:186-200 (first crossing on a
+    monotone diagonal — identical under the envelope).
+    """
+
+    def test_transient_dip_does_not_truncate(self):
+        d = np.array([1.0, 0.5, 1e-9, 0.3, 0.1, 1e-9, 1e-10])
+        k = d.size
+        qr = rc.QR(jnp.eye(k), jnp.diag(jnp.asarray(d)),
+                   jnp.arange(k, dtype=jnp.int32))
+        out = qr.compress(rc.CompressionType.ADAPTIVE(1e-6))
+        assert out.rank == 5  # not 2 (the dip)
+
+    def test_monotone_matches_reference_scan(self):
+        d = np.array([1.0, 0.5, 0.1, 1e-7, 1e-8])
+        qr = rc.QR(jnp.eye(5), jnp.diag(jnp.asarray(d)),
+                   jnp.arange(5, dtype=jnp.int32))
+        assert qr.compress(rc.CompressionType.ADAPTIVE(1e-6)).rank == 3
+
+    def test_lq_envelope(self):
+        d = np.array([1.0, 1e-9, 0.4, 1e-9, 1e-9])
+        lq = rc.LQ(jnp.diag(jnp.asarray(d)), jnp.eye(5),
+                   jnp.arange(5, dtype=jnp.int32))
+        assert lq.compress(rc.CompressionType.ADAPTIVE(1e-6)).rank == 3
+
+    def test_blocked_qr_stairstep_matches_gs_rank(self):
+        # Stair-step spectrum: plateaus tempt blocked pivoting into
+        # locally non-monotone diagonals. The ADAPTIVE cut must agree
+        # with the exact sequential (gs) pivoting within one block.
+        key = jax.random.PRNGKey(11)
+        m, n, blk = 256, 256, 32
+        steps = np.repeat([1.0, 1e-2, 1e-4, 1e-6, 1e-9], [8, 24, 32, 32, 160])
+        ku, kv = jax.random.split(key)
+        u = rc.random_orthogonal_matrix(ku, (m, m))[:, :n]
+        vt = rc.random_orthogonal_matrix(kv, (n, n))
+        a = (u * jnp.asarray(steps, u.dtype)[None, :]) @ vt
+        tol = 1e-5
+        rank_gs = (rc.QR.compute_from(a, max_rank=128, mode="gs")
+                   .compress(rc.CompressionType.ADAPTIVE(tol)).rank)
+        rank_blk = (rc.QR.compute_from(a, max_rank=128, mode="blocked",
+                                       block_size=blk)
+                    .compress(rc.CompressionType.ADAPTIVE(tol)).rank)
+        assert abs(rank_blk - rank_gs) <= blk

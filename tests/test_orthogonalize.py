@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import rusty_compression_tpu as rc
+from rusty_compression_tpu.ops import orthogonalize
 
 DTYPES = [jnp.float32, jnp.float64, jnp.complex64, jnp.complex128]
 
@@ -115,3 +116,59 @@ def test_gram_svd_bad_method():
 
     with pytest.raises(ValueError, match="unknown SVD method"):
         compute_svd(np.eye(3), method="nope")
+
+
+class TestSVQB:
+    """SVQB (Stathopoulos & Wu 2002): any-condition orthonormalization."""
+
+    def _cond_spectrum_matrix(self, seed, m, l, decades):
+        rng = np.random.default_rng(seed)
+        u, _ = np.linalg.qr(rng.standard_normal((m, l)))
+        v, _ = np.linalg.qr(rng.standard_normal((l, l)))
+        sig = 10.0 ** (-decades * np.arange(l) / (l - 1))
+        return (u * sig) @ v.T, u
+
+    def test_extreme_condition_f32(self):
+        # cond 1e11 in f32 — beyond every CholeskyQR variant's reach;
+        # the TPU power-iteration failure mode (ortho err ~ 1.0).
+        y64, u = self._cond_spectrum_matrix(0, 1024, 96, 11)
+        q = orthogonalize.svqb(jnp.asarray(y64, jnp.float32))
+        q64 = np.asarray(q, np.float64)
+        assert np.abs(q64.T @ q64 - np.eye(96)).max() < 1e-4
+        # dominant half of the range preserved
+        top = u[:, :48]
+        loss = np.linalg.norm(top - q64 @ (q64.T @ top))
+        assert loss < 1e-2
+
+    def test_zero_columns_finite(self):
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.standard_normal((256, 32)), jnp.float32)
+        y = y.at[:, 20:].set(0.0)
+        q = orthogonalize.svqb(y)
+        assert bool(jnp.all(jnp.isfinite(q)))
+        q64 = np.asarray(q, np.float64)
+        assert np.abs(q64[:, :20].T @ q64[:, :20] - np.eye(20)).max() < 1e-4
+
+    def test_well_conditioned_machine_precision(self):
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.standard_normal((512, 64)), jnp.float32)
+        q = orthogonalize.svqb(y)
+        q64 = np.asarray(q, np.float64)
+        assert np.abs(q64.T @ q64 - np.eye(64)).max() < 1e-5
+
+    def test_complex(self):
+        rng = np.random.default_rng(3)
+        y = jnp.asarray(rng.standard_normal((256, 24))
+                        + 1j * rng.standard_normal((256, 24)), jnp.complex64)
+        q = orthogonalize.svqb(y)
+        q64 = np.asarray(q, np.complex128)
+        assert np.abs(np.conj(q64.T) @ q64 - np.eye(24)).max() < 1e-5
+
+    def test_batched_vmap(self):
+        rng = np.random.default_rng(4)
+        y = jnp.asarray(rng.standard_normal((4, 128, 16)), jnp.float32)
+        q = jax.vmap(orthogonalize.svqb)(y)
+        assert q.shape == (4, 128, 16)
+        for i in range(4):
+            qi = np.asarray(q[i], np.float64)
+            assert np.abs(qi.T @ qi - np.eye(16)).max() < 1e-5
