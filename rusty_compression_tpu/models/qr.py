@@ -55,6 +55,35 @@ def _tolerance_position(diag_ratios, tol: float):
     return int(idx)
 
 
+def _tolerance_rank_device(diag, tol):
+    """Device-side (jit/vmap-safe) version of ``_tolerance_position``.
+
+    Returns ``(rank, ok)``: the suffix-max-envelope truncation rank and
+    whether the tolerance was reachable (``ok=False`` mirrors the host
+    API's ``CompressionError``; inside jit the caller masks on it).
+    """
+    ratios = jnp.abs(diag / diag[..., :1])
+    ax = ratios.ndim - 1  # lax.cummax rejects negative axes
+    envelope = jnp.flip(
+        jax.lax.cummax(jnp.flip(ratios, axis=ax), axis=ax), axis=ax)
+    below = envelope < tol
+    ok = below[..., -1]
+    rank = jnp.argmax(below, axis=-1).astype(jnp.int32)
+    k = diag.shape[-1]
+    return jnp.where(ok, rank, jnp.int32(k)), ok
+
+
+def _mask_cols(a, rank):
+    """Zero columns at index >= rank (static shape preserved)."""
+    idx = jnp.arange(a.shape[-1])
+    return a * (idx < rank).astype(a.dtype)
+
+
+def _mask_rows(a, rank):
+    idx = jnp.arange(a.shape[-2])
+    return a * (idx < rank)[:, None].astype(a.dtype)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class QR:
@@ -136,6 +165,25 @@ class QR:
             raise CompressionError(
                 f"Could not compress to relative tolerance {tol!r}")
         return self.compress_qr_rank(pos)
+
+    def compress_qr_tolerance_masked(self, tol):
+        """jit/vmap-safe tolerance truncation: mask instead of slice.
+
+        Returns ``(rank, qr_masked, ok)`` where ``qr_masked`` keeps the
+        padded static shape with columns of Q / rows of R beyond
+        ``rank`` zeroed (so ``to_mat`` and factored applies are exact
+        for the truncated factorization), and ``ok`` is False where the
+        tolerance was unreachable (the in-jit analogue of the host
+        API's ``CompressionError``, qr.rs:198; rank is then the full
+        rank). The host-boundary ``compress_qr_tolerance`` slices; this
+        variant is the SURVEY §7 mask-and-pad discipline for use inside
+        ``jit`` — e.g. batched tolerance truncation that never leaves
+        device (tests/test_containers.py::TestMaskedTolerance).
+        """
+        rank, ok = _tolerance_rank_device(jnp.diagonal(self.r), tol)
+        masked = QR(_mask_cols(self.q, rank), _mask_rows(self.r, rank),
+                    self.ind)
+        return rank, masked, ok
 
     def compress(self, compression_type: CompressionType) -> "QR":
         """Dispatch on the compression selector (qr.rs:202-208)."""
@@ -237,6 +285,14 @@ class LQ:
             raise CompressionError(
                 f"Could not compress to relative tolerance {tol!r}")
         return self.compress_lq_rank(pos)
+
+    def compress_lq_tolerance_masked(self, tol):
+        """jit/vmap-safe tolerance truncation (mirror of
+        ``QR.compress_qr_tolerance_masked`` on the L diagonal)."""
+        rank, ok = _tolerance_rank_device(jnp.diagonal(self.l), tol)
+        masked = LQ(_mask_cols(self.l, rank), _mask_rows(self.q, rank),
+                    self.ind)
+        return rank, masked, ok
 
     def compress(self, compression_type: CompressionType) -> "LQ":
         """Dispatch on the compression selector (qr.rs:113-119)."""

@@ -114,6 +114,24 @@ class SVD:
                 f"Could not compress to relative tolerance {tol!r}")
         return self.compress_svd_rank(pos)
 
+    def compress_svd_tolerance_masked(self, tol):
+        """jit/vmap-safe tolerance truncation: mask instead of slice.
+
+        Returns ``(rank, svd_masked, ok)``; singular triplets at index
+        >= rank are zeroed in place of the host API's slicing (see
+        ``QR.compress_qr_tolerance_masked`` for the contract). Because
+        the masked triplets are zero, ``to_mat``/``apply`` of the
+        masked container equal the truncated factorization exactly.
+        """
+        from .qr import _tolerance_rank_device  # shared device scan
+
+        rank, ok = _tolerance_rank_device(self.s, tol)
+        keep = (jnp.arange(self.s.shape[-1]) < rank)
+        masked = SVD(self.u * keep.astype(self.u.dtype),
+                     self.s * keep.astype(self.s.dtype),
+                     self.vt * keep[:, None].astype(self.vt.dtype))
+        return rank, masked, ok
+
     def compress(self, compression_type: CompressionType) -> "SVD":
         """Dispatch on the compression selector (svd.rs:60-65)."""
         if isinstance(compression_type, Adaptive):

@@ -398,3 +398,70 @@ class TestToleranceEnvelope:
                                        block_size=blk)
                     .compress(rc.CompressionType.ADAPTIVE(tol)).rank)
         assert abs(rank_blk - rank_gs) <= blk
+
+
+class TestMaskedTolerance:
+    """In-jit masked tolerance compression (VERDICT r1 missing #3).
+
+    The host API slices (dynamic shapes, qr.rs:186-200); these variants
+    return (rank, masked factors, ok) with static shapes so tolerance
+    truncation composes with jit/vmap — the SURVEY §7 mask-and-pad
+    discipline.
+    """
+
+    def test_qr_masked_matches_host_compress(self):
+        a = _fixture(jax.random.PRNGKey(0), (80, 60), jnp.float64)
+        qr = rc.QR.compute_from(a)
+        tol = 1e-3  # fixture spectrum floors at _sigma_min = 1e-5
+        host = qr.compress(rc.CompressionType.ADAPTIVE(tol))
+        rank, masked, ok = jax.jit(
+            lambda q: q.compress_qr_tolerance_masked(tol))(qr)
+        assert bool(ok)
+        assert int(rank) == host.rank
+        np.testing.assert_allclose(np.asarray(masked.to_mat()),
+                                   np.asarray(host.to_mat()),
+                                   rtol=0, atol=1e-12)
+
+    def test_qr_masked_unreachable_flag(self):
+        a = _fixture(jax.random.PRNGKey(1), (40, 30), jnp.float64)
+        qr = rc.QR.compute_from(a)
+        rank, _, ok = jax.jit(
+            lambda q: q.compress_qr_tolerance_masked(1e-30))(qr)
+        assert not bool(ok)
+        assert int(rank) == qr.rank
+
+    def test_lq_masked(self):
+        a = _fixture(jax.random.PRNGKey(2), (30, 50), jnp.float64)
+        lq = rc.LQ.compute_from(a)
+        tol = 1e-3
+        host = lq.compress(rc.CompressionType.ADAPTIVE(tol))
+        rank, masked, ok = jax.jit(
+            lambda x: x.compress_lq_tolerance_masked(tol))(lq)
+        assert bool(ok) and int(rank) == host.rank
+        np.testing.assert_allclose(np.asarray(masked.to_mat()),
+                                   np.asarray(host.to_mat()),
+                                   rtol=0, atol=1e-12)
+
+    def test_svd_masked_batched_on_device(self):
+        # Batched tolerance truncation that never leaves device: vmap
+        # over blocks with per-block achieved ranks.
+        keys = jax.random.split(jax.random.PRNGKey(3), 4)
+        blocks = jnp.stack([_fixture(k, (48, 40), jnp.float64)
+                            for k in keys])
+
+        @jax.jit
+        @jax.vmap
+        def run(a):
+            svd = rc.SVD.compute_from(a)
+            rank, masked, ok = svd.compress_svd_tolerance_masked(1e-4)
+            return rank, masked.to_mat(), ok
+
+        ranks, mats, oks = run(blocks)
+        assert bool(jnp.all(oks))
+        for i in range(4):
+            host = (rc.SVD.compute_from(blocks[i])
+                    .compress(rc.CompressionType.ADAPTIVE(1e-4)))
+            assert int(ranks[i]) == host.rank
+            np.testing.assert_allclose(np.asarray(mats[i]),
+                                       np.asarray(host.to_mat()),
+                                       rtol=0, atol=1e-12)
