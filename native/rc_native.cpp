@@ -82,6 +82,26 @@ void rc_gather_plan(int64_t n, const int64_t* order,
   }
 }
 
+// Fixed per-group chunk batch under a host-memory byte budget.
+//
+// A group of `count` blocks at bucket dims bm x bn is executed in
+// chunks of a FIXED batch size (so one compiled program per bucket
+// regardless of chunk count); the chunk batch is the largest multiple
+// of `granule` whose padded stack fits in `budget_bytes`, clamped to
+// [granule, padded-count]. Mirrors scheduler.py::_chunk_batch.
+int64_t rc_chunk_batch(int64_t count, int64_t granule, int64_t bm,
+                       int64_t bn, int64_t elem_size,
+                       int64_t budget_bytes) {
+  if (count <= 0 || granule <= 0 || bm <= 0 || bn <= 0 || elem_size <= 0)
+    return -1;
+  int64_t padded = ((count + granule - 1) / granule) * granule;
+  if (budget_bytes <= 0) return padded;  // no budget: one chunk
+  int64_t granule_bytes = bm * bn * elem_size * granule;
+  int64_t fit = budget_bytes / granule_bytes * granule;
+  if (fit < granule) fit = granule;  // always make progress
+  return std::min(padded, fit);
+}
+
 // Total padded bytes a plan will materialize (scheduling / memory
 // budgeting): sum over groups of batch * bm * bn * elem_size.
 int64_t rc_plan_bytes(int64_t n_groups, const int64_t* group_off,

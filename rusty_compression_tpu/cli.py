@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mesh", action="store_true",
                     help="shard block batches over all local devices")
     ap.add_argument("--bucket-floor", type=int, default=128)
+    ap.add_argument("--chunk-bytes", type=int, default=1 << 30,
+                    help="host-memory budget per packed input stack; each "
+                         "bucket is executed in fixed-batch chunks under "
+                         "this bound (<=0 disables chunking)")
+    ap.add_argument("--window", type=int, default=2,
+                    help="chunks kept in flight (pipeline depth)")
     ap.add_argument("--precision", default=None,
                     choices=["highest", "high", "default"],
                     help="matmul precision override (default: policy)")
@@ -104,7 +110,8 @@ def main(argv=None) -> int:
         mesh = make_mesh()
         print(f"mesh: {jax.local_device_count()} devices over 'blocks'")
 
-    kwargs: dict = dict(bucket_floor=args.bucket_floor)
+    kwargs: dict = dict(bucket_floor=args.bucket_floor,
+                        chunk_bytes=args.chunk_bytes, window=args.window)
     if args.precision:
         kwargs["precision"] = args.precision
     if args.tol is not None:

@@ -17,7 +17,7 @@ from typing import Sequence
 
 import numpy as np
 
-__all__ = ["available", "plan", "NativePlan"]
+__all__ = ["available", "plan", "chunk_batch", "NativePlan"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
@@ -33,8 +33,10 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+        src = os.path.join(_NATIVE_DIR, "rc_native.cpp")
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"],
                            check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rc_bucket_dim.restype = ctypes.c_int64
@@ -49,6 +51,8 @@ def _load():
         lib.rc_plan_bytes.restype = ctypes.c_int64
         lib.rc_plan_bytes.argtypes = [ctypes.c_int64, p64, p64, p64, p64,
                                       p64, ctypes.c_int64]
+        lib.rc_chunk_batch.restype = ctypes.c_int64
+        lib.rc_chunk_batch.argtypes = [ctypes.c_int64] * 6
         _lib = lib
     except Exception:
         _load_failed = True
@@ -101,6 +105,21 @@ class NativePlan:
         lib.rc_gather_plan(n, self.order, self.group_off, self.n_groups,
                            max_batch, slots)
         return slots
+
+
+def chunk_batch(count: int, granule: int, bm: int, bn: int,
+                elem_size: int, budget_bytes: int) -> int | None:
+    """Fixed per-bucket chunk batch under a byte budget (``rc_chunk_batch``);
+    None if the C++ runtime is unavailable (caller falls back to the
+    Python mirror in ``parallel.scheduler._chunk_batch``)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = int(lib.rc_chunk_batch(count, granule, bm, bn, elem_size,
+                                 budget_bytes))
+    if out < 0:
+        raise ValueError("invalid chunk_batch inputs")
+    return out
 
 
 def plan(shapes: Sequence[tuple[int, int]], floor: int = 128,

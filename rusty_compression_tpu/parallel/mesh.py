@@ -167,6 +167,48 @@ def _compiled_adaptive(rel_tol: float, sample_size: int, max_rank, opts: tuple):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_adaptive_sharded(rel_tol: float, sample_size: int, max_rank,
+                               opts: tuple, mesh: Mesh, axis: str):
+    """Adaptive DP program with per-device stopping.
+
+    A plain ``vmap`` of the adaptive ``lax.while_loop`` over a sharded
+    batch axis makes the loop predicate a cross-device reduction — XLA
+    inserts a scalar all-reduce per iteration, a per-step sync barrier
+    between otherwise independent blocks. Wrapping the local vmapped
+    loop in ``shard_map`` keeps each device's loop private: it stops
+    when *its* blocks converge, and the compiled program contains zero
+    collectives (asserted by ``test_parallel.py``'s HLO scan — the
+    compile-time form of BASELINE config 5's linear-scaling argument).
+    """
+    from .batch import adaptive_rsvd_block
+
+    kwargs = dict(opts)
+    fn = functools.partial(adaptive_rsvd_block, rel_tol=rel_tol,
+                           sample_size=sample_size, max_rank=max_rank,
+                           **kwargs)
+
+    def local(blocks, keys):
+        return jax.vmap(fn)(blocks, keys)
+
+    @jax.jit
+    def run(blocks, key):
+        keys = jax.random.split(key, blocks.shape[0])
+        shapes = jax.eval_shape(local, blocks, keys)
+        out_specs = jax.tree_util.tree_map(
+            lambda s: P(axis, *([None] * (s.ndim - 1))), shapes)
+        # check_vma off: the while_loop carry mixes device-varying block
+        # state with replicated loop counters, which the varying-axis
+        # checker rejects; correctness is covered by the exact-parity
+        # test against the unsharded program.
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(P(axis), P(axis)),
+                             out_specs=out_specs,
+                             check_vma=False)(blocks, keys)
+
+    return run
+
+
 def compress_blocks_adaptive(blocks, key, rel_tol: float, sample_size: int,
                              max_rank: int | None = None,
                              mesh: Mesh | None = None, axis: str = "blocks",
@@ -178,9 +220,12 @@ def compress_blocks_adaptive(blocks, key, rel_tol: float, sample_size: int,
     ``parallel.batch.batched_adaptive_rsvd``.
     """
     blocks = jnp.asarray(blocks)
+    mr = None if max_rank is None else int(max_rank)
+    opts = tuple(sorted(kwargs.items()))
     if mesh is not None:
         blocks, key = _shard_for_mesh(blocks, key, mesh, axis)
-    run = _compiled_adaptive(float(rel_tol), int(sample_size),
-                             None if max_rank is None else int(max_rank),
-                             tuple(sorted(kwargs.items())))
+        run = _compiled_adaptive_sharded(float(rel_tol), int(sample_size),
+                                         mr, opts, mesh, axis)
+    else:
+        run = _compiled_adaptive(float(rel_tol), int(sample_size), mr, opts)
     return run(blocks, key)

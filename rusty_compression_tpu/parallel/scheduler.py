@@ -72,9 +72,15 @@ class BlockResult:
     rank: int
     rel_residual: float              # relative Frobenius reconstruction err
     wall_time_s: float               # pipelined dispatch->collect latency
-    #   of its bucket / bucket size: includes overlapped host packing of
-    #   the next bucket, so it is a latency figure, not pure compute time
+    #   of its chunk / chunk size: includes overlapped host packing of
+    #   the next chunk, so it is a latency figure, not pure compute time
     factors: Any                     # un-padded factor container
+    device_time_s: float = 0.0       # device-busy window of its chunk /
+    #   chunk size: ready(k) − max(ready(k−1), enqueue_end(k)) — the span
+    #   in which the device could have been running this chunk (in-order
+    #   execution), so queue wait and overlapped host packing are
+    #   excluded. Upper bound on compute + result transfer;
+    #   device_time_s <= wall_time_s by construction.
 
     def record(self) -> dict:
         """Structured log record (JSON-ready)."""
@@ -87,6 +93,7 @@ class BlockResult:
             "rank": self.rank,
             "rel_residual": self.rel_residual,
             "wall_time_s": self.wall_time_s,
+            "device_time_s": self.device_time_s,
         }
 
 
@@ -102,6 +109,28 @@ def plan_buckets(shapes: Sequence[tuple[int, int]], floor: int = 128
         b = (bucket_dim(m, floor), bucket_dim(n, floor))
         groups.setdefault(b, []).append(i)
     return groups
+
+
+def _chunk_batch(count: int, granule: int, bm: int, bn: int,
+                 elem_size: int, budget_bytes: int) -> int:
+    """Fixed chunk batch for a bucket of ``count`` blocks under a host
+    byte budget: the largest multiple of ``granule`` whose padded
+    (batch, bm, bn) stack fits in ``budget_bytes``, clamped to
+    [granule, padded-count]. Fixed per bucket so every chunk reuses one
+    compiled program. Mirrors ``native/rc_native.cpp::rc_chunk_batch``;
+    the C++ runtime is preferred when loadable.
+    """
+    from .. import native as _native
+
+    nb = _native.chunk_batch(count, granule, bm, bn, elem_size, budget_bytes)
+    if nb is not None:
+        return nb
+    padded = _batch_bucket(count, granule)
+    if budget_bytes <= 0:
+        return padded
+    granule_bytes = bm * bn * elem_size * granule
+    fit = max(budget_bytes // granule_bytes, 1) * granule
+    return min(padded, fit)
 
 
 def _unpad_factors(factors, i: int, m: int, n: int, method: str):
@@ -127,6 +156,7 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                            rel_tol: float | None = None,
                            sample_size: int = 10,
                            window: int = 2,
+                           chunk_bytes: int = 1 << 30,
                            **kwargs) -> list[BlockResult]:
     """Compress a heterogeneous list of dense blocks.
 
@@ -139,8 +169,16 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
     regardless of bucket execution order. With a ``mesh``, each bucket's
     stack is sharded over ``axis`` (stacks are padded up to a multiple of
     the axis size with zero blocks, which are compressed and discarded).
-    ``window`` buckets are kept in flight (host packing of the next bucket
+    ``window`` chunks are kept in flight (host packing of the next chunk
     overlaps device compute; peak device memory scales with the window).
+
+    Each bucket is executed in chunks whose padded input stack is at most
+    ``chunk_bytes`` (default 1 GiB): the north-star stream (~10k blocks,
+    some landing in the (16384, 16384) bucket) must not materialize a
+    whole bucket as one host stack. The chunk batch is FIXED per bucket
+    (last chunk zero-padded), so chunking adds no extra compilations.
+    Peak host memory is ~``window`` input stacks ≤ ``chunk_bytes`` each
+    plus their factors. ``chunk_bytes<=0`` disables chunking.
     """
     if (rank is None) == (rel_tol is None):
         raise ValueError("pass exactly one of rank= or rel_tol=")
@@ -161,14 +199,21 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
     groups = nplan.groups() if nplan is not None else plan_buckets(
         shapes, bucket_floor)
     results: list[BlockResult | None] = [None] * len(shapes)
-    keys = jax.random.split(key, max(len(groups), 1))
 
-    def dispatch(gk, bm, bn, idxs):
-        """Pack + enqueue one bucket's work (device runs asynchronously)."""
-        nb = _batch_bucket(len(idxs), batch_granule)
-        stack = np.zeros((nb, bm, bn),
-                         dtype=np.result_type(*[np.asarray(blocks[i]).dtype
-                                                for i in idxs]))
+    # Split each bucket into fixed-batch chunks under the byte budget
+    # (one compiled program per bucket; the last chunk is zero-padded).
+    chunks: list[tuple] = []
+    for (bm, bn), idxs in sorted(groups.items()):
+        dtype = np.result_type(*[np.asarray(blocks[i]).dtype for i in idxs])
+        cb = _chunk_batch(len(idxs), batch_granule, bm, bn, dtype.itemsize,
+                          chunk_bytes)
+        for lo in range(0, len(idxs), cb):
+            chunks.append((bm, bn, cb, idxs[lo:lo + cb], dtype))
+    keys = jax.random.split(key, max(len(chunks), 1))
+
+    def dispatch(gk, bm, bn, cb, idxs, dtype):
+        """Pack + enqueue one chunk's work (device runs asynchronously)."""
+        stack = np.zeros((cb, bm, bn), dtype=dtype)
         for slot, i in enumerate(idxs):
             m, n = shapes[i]
             stack[slot, :m, :n] = np.asarray(blocks[i])
@@ -181,18 +226,27 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
         else:
             factors = compress_blocks(stack, gk, rank, method=method,
                                       mesh=mesh, axis=axis, **kwargs)
-            ranks = np.full(nb, int(rank))
+            ranks = np.full(cb, int(rank))
             out_method = method
         errs = batched_rel_diff_fro(factors, stack)
-        return (bm, bn, idxs, factors, ranks, errs, out_method, t0)
+        t_enq = time.perf_counter()
+        return (bm, bn, idxs, factors, ranks, errs, out_method, t0, t_enq)
+
+    prev_ready = [0.0]  # when the previous chunk's results became available
 
     def collect(work):
-        """Fetch one bucket's finished results and un-pad in place."""
-        bm, bn, idxs, factors, ranks, errs, out_method, t0 = work
+        """Fetch one chunk's finished results and un-pad in place."""
+        bm, bn, idxs, factors, ranks, errs, out_method, t0, t_enq = work
         errs = np.asarray(jax.device_get(errs))
         ranks = np.asarray(jax.device_get(ranks))
         factors = jax.device_get(factors)
-        per_block = (time.perf_counter() - t0) / len(idxs)
+        t_ready = time.perf_counter()
+        per_block = (t_ready - t0) / len(idxs)
+        # Device-busy window: the device executes chunks in order, so it
+        # could only have worked on this chunk between the previous
+        # chunk's completion and this one's (and not before enqueue).
+        dev_block = (t_ready - max(prev_ready[0], t_enq)) / len(idxs)
+        prev_ready[0] = t_ready
         for slot, i in enumerate(idxs):
             m, n = shapes[i]
             f = _unpad_factors(factors, slot, m, n, out_method)
@@ -203,16 +257,16 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
             results[i] = BlockResult(
                 index=i, shape=(m, n), bucket=(bm, bn), rank=int(ranks[slot]),
                 rel_residual=float(errs[slot]), wall_time_s=per_block,
-                factors=f)
+                factors=f, device_time_s=dev_block)
 
-    # Windowed pipeline: keep up to `window` buckets in flight so host-side
-    # packing of the next bucket overlaps device compute of the current one
+    # Windowed pipeline: keep up to `window` chunks in flight so host-side
+    # packing of the next chunk overlaps device compute of the current one
     # (dispatch is async; only `collect` synchronizes). The window bounds
-    # peak device memory to two padded stacks + factors.
+    # peak host/device memory to `window` padded stacks + factors.
     t_start = time.perf_counter()
     in_flight: list = []
-    for gk, ((bm, bn), idxs) in zip(keys, sorted(groups.items())):
-        in_flight.append(dispatch(gk, bm, bn, idxs))
+    for gk, (bm, bn, cb, idxs, dtype) in zip(keys, chunks):
+        in_flight.append(dispatch(gk, bm, bn, cb, idxs, dtype))
         if len(in_flight) >= window:
             collect(in_flight.pop(0))
     for work in in_flight:

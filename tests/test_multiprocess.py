@@ -38,12 +38,17 @@ WORKER = textwrap.dedent("""
     svd = par.compress_blocks(blocks, jax.random.key(1), rank=8, mesh=mesh)
     errs = par.batched_rel_diff_fro(svd, blocks)
     err_max = float(jnp.max(errs))
+    # adaptive path: per-device shard_map while-loop across processes
+    _, ranks, _ = par.compress_blocks_adaptive(
+        blocks, jax.random.key(2), 1e-4, 8, 16, mesh=mesh)
+    r_min = int(jnp.min(ranks))
+    assert r_min > 0
     sl = par.local_block_slice(n_dev * 2)
     print(f"RESULT {proc_id} {sl.start} {sl.stop} {err_max:.6e}", flush=True)
 """)
 
 
-@pytest.mark.parametrize("nprocs", [2])
+@pytest.mark.parametrize("nprocs", [2, 4])
 def test_two_process_sharded_compression(tmp_path, nprocs):
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -71,3 +71,30 @@ def test_large_manifest_fast():
     assert p is not None and p.n_groups >= 1
     assert sum(len(v) for v in p.groups().values()) == 100_000
     assert dt < 5.0
+
+
+def test_chunk_batch_parity():
+    lib = native._load()
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        count = int(rng.integers(1, 500))
+        granule = int(rng.integers(1, 9))
+        bm, bn = (int(x) for x in rng.integers(64, 4096, 2))
+        esize = int(rng.choice([4, 8, 16]))
+        budget = int(rng.integers(0, 1 << 32))
+        native_cb = lib.rc_chunk_batch(count, granule, bm, bn, esize, budget)
+        # force the Python mirror (budget<=0 path included)
+        padded = -(-count // granule) * granule
+        if budget <= 0:
+            py_cb = padded
+        else:
+            fit = max(budget // (bm * bn * esize * granule), 1) * granule
+            py_cb = min(padded, fit)
+        assert native_cb == py_cb == native.chunk_batch(
+            count, granule, bm, bn, esize, budget)
+
+
+def test_chunk_batch_invalid():
+    lib = native._load()
+    assert lib.rc_chunk_batch(0, 1, 64, 64, 4, 1000) == -1
+    assert lib.rc_chunk_batch(5, 0, 64, 64, 4, 1000) == -1
