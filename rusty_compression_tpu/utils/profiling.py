@@ -43,7 +43,7 @@ def timeit_slope(fn, *args, n1: int = 5, n2: int = 45, trials: int = 5,
     """
     out = fn(*args, **kwargs)
     sync(out)
-    slopes = []
+    slopes, means = [], []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(n1):
@@ -55,7 +55,15 @@ def timeit_slope(fn, *args, n1: int = 5, n2: int = 45, trials: int = 5,
         sync(out)
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return float(np.median(slopes))
+        means.append((t2 - t0) / (n1 + n2))
+    med = float(np.median(slopes))
+    if med <= 0.0:
+        # Slope noise exceeded the workload (sub-resolution runs, e.g.
+        # tiny CI configs): fall back to the raw per-iteration mean,
+        # which is always positive (includes sync overhead — an upper
+        # bound, fine at this granularity).
+        med = float(np.median(means))
+    return med
 
 
 @contextlib.contextmanager

@@ -160,3 +160,21 @@ class TestLinearOperator:
         assert q.shape == (32, 8)
         np.testing.assert_allclose(
             np.asarray(q.T @ q), np.eye(8), atol=1e-12)
+
+
+def test_mfu_model():
+    from rusty_compression_tpu.utils.mfu import effective_peak_flops, mfu_pct
+
+    # v5e at highest = bf16 peak / 6
+    assert effective_peak_flops("TPU v5 lite", "highest") == 197e12 / 6
+    assert effective_peak_flops("TPU v5p", "high") == 459e12 / 3
+    assert effective_peak_flops("TPU v4", "default") == 275e12
+    # unknown devices (CPU hosts) report no MFU rather than a guess
+    assert effective_peak_flops("cpu", "highest") is None
+    assert mfu_pct(1e12, 1.0, "cpu", "highest") is None
+    got = mfu_pct(197e12 / 6, 1.0, "TPU v5 lite", "highest")
+    assert abs(got - 100.0) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError):
+        effective_peak_flops("TPU v4", "bf16")
