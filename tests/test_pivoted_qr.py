@@ -82,6 +82,38 @@ class TestPivotedQRBlocked:
         atol = 2e-4 if np.dtype(q.dtype).itemsize <= 8 else 1e-11
         check_invariants(a, q, r, ind, atol)
 
+    def test_invariants_scholqr3_panel(self, key, dtype):
+        """The all-GEMM panel factorization (TPU auto-default) must meet
+        the same invariants as the Householder panel on every dtype —
+        exercised explicitly here because CPU auto resolves to
+        Householder."""
+        a = rc.random_approximate_low_rank_matrix(
+            key, (300, 200), 1.0,
+            1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-8, dtype=dtype)
+        q, r, ind = rc.pivoted_qr(a, mode="blocked", block_size=48,
+                                  panel_qr="scholqr3")
+        atol = 5e-4 if np.dtype(q.dtype).itemsize <= 8 else 1e-10
+        check_invariants(a, q, r, ind, atol)
+
+    def test_left_looking_matches_householder_panel(self, key, dtype):
+        """Same sketch key -> same pivots regardless of panel kernel, and
+        both reconstruct to their precision class."""
+        a = rc.random_approximate_low_rank_matrix(
+            key, (160, 120), 1.0, 1e-4, dtype=dtype)
+        import jax
+
+        k5 = jax.random.key(5)
+        _, _, ind_h = rc.pivoted_qr(a, max_rank=32, mode="blocked",
+                                    block_size=16, panel_qr="house", key=k5)
+        _, _, ind_c = rc.pivoted_qr(a, max_rank=32, mode="blocked",
+                                    block_size=16, panel_qr="scholqr3",
+                                    key=k5)
+        # pivot CHOICE is sketch-driven; the panel kernel must not
+        # change it (roundoff can swap near-tied pivots, so compare the
+        # selected sets loosely: at least 30 of 32 in common)
+        common = len(set(np.asarray(ind_h)[:32]) & set(np.asarray(ind_c)[:32]))
+        assert common >= 30, common
+
     def test_rank_revealing_quality(self, key, dtype):
         """Truncated blocked RRQR error must be within a small factor of
         the optimal (SVD) rank-k error on a decaying-spectrum matrix."""
