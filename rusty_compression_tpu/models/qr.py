@@ -319,8 +319,10 @@ class LQ:
         l11 = self.l[:rank, :]
         r = l11 @ self.q
         # X2 = L21 @ L11^{-1}: right-hand-side lower-triangular solve.
-        x_tail = jax.lax.linalg.triangular_solve(
-            l11, self.l[rank:, :], left_side=False, lower=True)
+        from ..ops.triangular import triangular_solve
+
+        x_tail = triangular_solve(l11, self.l[rank:, :], left_side=False,
+                                  lower=True)
         x = jnp.concatenate(
             [jnp.eye(rank, dtype=self.l.dtype), x_tail], axis=0)
         x = apply_matrix_permutation(

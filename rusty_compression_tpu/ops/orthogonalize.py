@@ -39,9 +39,11 @@ __all__ = ["cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
 
 
 def _solve_rt(y, r):
-    """``Y @ R^{-1}`` via a right-hand-side triangular solve."""
-    return jax.lax.linalg.triangular_solve(
-        r, y, left_side=False, lower=False)
+    """``Y @ R^{-1}`` via a right-hand-side triangular solve (precise on
+    TPU: ops.triangular routes around XLA's bf16 trsm expansion)."""
+    from .triangular import triangular_solve
+
+    return triangular_solve(r, y, left_side=False, lower=False)
 
 
 def _shift_magnitude(g, m: int):

@@ -339,8 +339,10 @@ def nystrom_svd(op, key, k: int, oversample: int = 8,
         # formulation): A ~= Y pinv(core) W = Y R^+ Q^H W.
         q_c, r_c = jnp.linalg.qr(core, mode="reduced")   # (l2, l), (l, l)
         z = herm(q_c) @ w                                # (l, n)
-        yr = jax.lax.linalg.triangular_solve(
-            r_c, y, left_side=False, lower=False)        # Y R^{-1} (m, l)
+        from .ops.triangular import triangular_solve
+
+        yr = triangular_solve(r_c, y, left_side=False,
+                              lower=False)               # Y R^{-1} (m, l)
     else:
         yr = y @ jnp.linalg.pinv(core)
         z = w

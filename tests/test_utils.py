@@ -178,3 +178,56 @@ def test_mfu_model():
 
     with pytest.raises(ValueError):
         effective_peak_flops("TPU v4", "bf16")
+
+
+class TestTriangular:
+    """ops.triangular: the Neumann-inverse kernel must match LAPACK
+    substitution to roundoff (it routes around XLA's TPU trsm expansion,
+    which escapes the matmul-precision policy)."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64,
+                                       jnp.complex64, jnp.complex128])
+    @pytest.mark.parametrize("lower", [False, True])
+    @pytest.mark.parametrize("left", [False, True])
+    def test_inverse_matches_xla(self, dtype, lower, left):
+        from rusty_compression_tpu.ops import triangular as tri
+
+        rng = np.random.default_rng(0)
+        l = 37
+        r = rng.standard_normal((l, l))
+        if np.dtype(dtype).kind == "c":
+            r = r + 1j * rng.standard_normal((l, l))
+        r = np.tril(r) if lower else np.triu(r)
+        r[np.arange(l), np.arange(l)] += 4.0  # well-conditioned
+        b = rng.standard_normal((l, 12) if left else (12, l))
+        if np.dtype(dtype).kind == "c":
+            b = b + 1j * rng.standard_normal(b.shape)
+        r, b = r.astype(dtype), b.astype(dtype)
+        x_ref = tri.triangular_solve(r, b, left_side=left, lower=lower,
+                                     method="xla")
+        x_inv = tri.triangular_solve(r, b, left_side=left, lower=lower,
+                                     method="inverse")
+        tol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+        np.testing.assert_allclose(np.asarray(x_inv), np.asarray(x_ref),
+                                   atol=tol, rtol=tol)
+
+    def test_inverse_exact_identity(self):
+        from rusty_compression_tpu.ops.triangular import triangular_inverse
+
+        rng = np.random.default_rng(1)
+        r = np.triu(rng.integers(-3, 4, (16, 16)).astype(np.float64))
+        np.fill_diagonal(r, 1.0)  # unit triangular: Neumann product exact
+        rinv = np.asarray(triangular_inverse(r))
+        np.testing.assert_allclose(r @ rinv, np.eye(16), atol=1e-12)
+
+    def test_batched(self):
+        from rusty_compression_tpu.ops import triangular as tri
+
+        rng = np.random.default_rng(2)
+        r = np.triu(rng.standard_normal((5, 9, 9)))
+        r[:, np.arange(9), np.arange(9)] += 3.0
+        b = rng.standard_normal((5, 9, 4))
+        x_ref = tri.triangular_solve(r, b, method="xla")
+        x_inv = tri.triangular_solve(r, b, method="inverse")
+        np.testing.assert_allclose(np.asarray(x_inv), np.asarray(x_ref),
+                                   atol=1e-10)
