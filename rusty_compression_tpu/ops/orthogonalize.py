@@ -56,6 +56,18 @@ def _shift_magnitude(g, m: int):
     return (11.0 * (m * l + l * (l + 1)) * eps(g.dtype)) * gnorm
 
 
+def _chol_kernel(g):
+    """Lower Cholesky, precision-safe: XLA's TPU ``hlo.cholesky``
+    expansion escapes the matmul-precision policy (raw-bf16 internal
+    matmuls), so TPU routes through the pure-JAX blocked factorization
+    (ops.cholesky); CPU keeps LAPACK ``potrf``."""
+    if jax.default_backend() == "tpu":
+        from .cholesky import cholesky as chol_precise
+
+        return chol_precise(g)
+    return jnp.linalg.cholesky(g)
+
+
 def _chol(g, m: int, always_shift: bool = False):
     """Cholesky of the (tiny, l x l) Gram matrix, guarded against
     breakdown: if the plain factorization produces non-finite entries
@@ -65,10 +77,10 @@ def _chol(g, m: int, always_shift: bool = False):
     s = _shift_magnitude(g, m)
     shift = (s + jnp.where(s > 0, 0.0, 1.0)).astype(g.dtype) * jnp.eye(
         g.shape[-1], dtype=g.dtype)
-    shifted = jnp.linalg.cholesky(g + shift)
+    shifted = _chol_kernel(g + shift)
     if always_shift:
         return shifted
-    plain = jnp.linalg.cholesky(g)
+    plain = _chol_kernel(g)
     ok = jnp.all(jnp.isfinite(plain))
     return jnp.where(ok, plain, shifted)
 

@@ -172,3 +172,44 @@ class TestSVQB:
         for i in range(4):
             qi = np.asarray(q[i], np.float64)
             assert np.abs(qi.T @ qi - np.eye(16)).max() < 1e-5
+
+
+class TestPreciseCholesky:
+    """ops.cholesky: the pure-JAX blocked factorization (TPU precision
+    route) must match LAPACK potrf to roundoff on every dtype."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64,
+                                       jnp.complex64, jnp.complex128])
+    @pytest.mark.parametrize("n", [7, 48, 130])
+    def test_matches_lapack(self, dtype, n):
+        from rusty_compression_tpu.ops.cholesky import cholesky
+
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal((3 * n, n))
+        if np.dtype(dtype).kind == "c":
+            y = y + 1j * rng.standard_normal((3 * n, n))
+        g = (y.conj().T @ y + 3 * n * np.eye(n)).astype(dtype)
+        l_ours = np.asarray(cholesky(jnp.asarray(g), block=32))
+        l_ref = np.linalg.cholesky(g.astype(
+            np.complex128 if np.dtype(dtype).kind == "c" else np.float64))
+        tol = 2e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+        scale = np.abs(l_ref).max()
+        np.testing.assert_allclose(l_ours, l_ref, atol=tol * scale, rtol=tol)
+
+    def test_breakdown_produces_nonfinite(self):
+        from rusty_compression_tpu.ops.cholesky import cholesky
+
+        g = np.diag([1.0, -1.0, 1.0]).astype(np.float32)  # indefinite
+        out = np.asarray(cholesky(jnp.asarray(g)))
+        assert not np.all(np.isfinite(out))
+
+    def test_batched(self):
+        from rusty_compression_tpu.ops.cholesky import cholesky
+
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal((4, 60, 20))
+        g = np.einsum("bij,bik->bjk", y, y) + 10 * np.eye(20)
+        ours = np.asarray(cholesky(jnp.asarray(g.astype(np.float64)),
+                                   block=8))
+        ref = np.linalg.cholesky(g)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
