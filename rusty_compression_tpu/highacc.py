@@ -31,9 +31,11 @@ the (L, n) core, amortized across blocks by ``refined_rsvd_batch``.
 
 Design note (TPU-first): this replaces the reference's "just call dgemm/
 dgesdd in f64" strategy — a direct translation would run at the
-emulated-f64 path's ~100x slowdown. Complex (c128-class) inputs are not
-yet routed through this module (the f32/c64 paths in ``sampling`` cover
-the reference's complex API at f32 accuracy).
+emulated-f64 path's ~100x slowdown. Complex (c128-class) inputs route
+through the planar stages (``_c*``): a complex double-float is a c64
+hi/lo pair (additive EFTs are componentwise), and every product runs as
+4 real Ozaki slice GEMMs — the analogue of the reference's LAPACK
+z-kernels (qr.rs:408-416 macro instantiation).
 """
 
 from __future__ import annotations
@@ -49,12 +51,15 @@ from .linop import DenseOperator
 from .models.svd import SVD
 from .ops.ozaki import ozaki_matmul_split, ozaki_split
 from .sampling import range_finder
-from .utils.doublefloat import DF, df, df_from_f64, df_sub, df_to_f64
+from .utils.doublefloat import (DF, df, df_add, df_complex, df_from_f64,
+                                df_imag, df_real, df_sub, df_to_f64)
+from .utils.dtypes import herm
 from .utils.errors import CompressionError
 from .utils.precision import with_precision
 
 __all__ = [
     "RefinedSVD", "refined_rsvd", "df_cholesky_qr2", "df_project",
+    "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
 
@@ -126,6 +131,123 @@ def _project(q: DF, a_col_slices, a_col_scale, terms: int) -> DF:
     qs, qsc = ozaki_split(qt, DEFAULT_SLICES_DF, contract_axis=1)
     return ozaki_matmul_split(qs, qsc, a_col_slices, a_col_scale,
                               terms=terms)
+
+
+# ---------------------------------------------------------------------------
+# Complex (planar) stages
+#
+# A complex double-float is a c64 hi/lo pair: the additive EFTs in
+# utils.doublefloat are componentwise FP adds, so they stay error-free
+# per component — but the Ozaki mantissa-slice products are real-only,
+# so every complex product decomposes into 4 real slice products
+# (re/im planar). This is the c128-accuracy-class route the reference
+# gets from LAPACK's z-kernels (macro instantiation qr.rs:408-416).
+# ---------------------------------------------------------------------------
+
+
+def _csplit(x: DF, num_slices: int, contract_axis: int):
+    """Planar Ozaki splits of a complex DF: ((re_slices, re_scale),
+    (im_slices, im_scale))."""
+    return (ozaki_split(df_real(x), num_slices, contract_axis=contract_axis),
+            ozaki_split(df_imag(x), num_slices, contract_axis=contract_axis))
+
+
+def _cmul_from_splits(asp, bsp, terms: int) -> DF:
+    """Complex product from planar splits: 4 real Ozaki GEMMs."""
+    (ars, arc), (ais, aic) = asp
+    (brs, brc), (bis, bic) = bsp
+    rr = ozaki_matmul_split(ars, arc, brs, brc, terms=terms)
+    ii = ozaki_matmul_split(ais, aic, bis, bic, terms=terms)
+    ri = ozaki_matmul_split(ars, arc, bis, bic, terms=terms)
+    ir = ozaki_matmul_split(ais, aic, brs, brc, terms=terms)
+    return df_complex(df_sub(rr, ii), df_add(ri, ir))
+
+
+@functools.partial(jax.jit, static_argnames=("num_slices", "contract_axis"))
+def _csplit_jit(x: DF, num_slices: int, contract_axis: int):
+    return _csplit(x, num_slices, contract_axis)
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _cgram(yr_s, yr_c, yi_s, yi_c, terms: int) -> DF:
+    """``Y^H Y`` for complex Y from planar column-scaled splits:
+    ``(Yr^T Yr + Yi^T Yi) + i (Yr^T Yi - Yi^T Yr)``."""
+    yrt = jnp.swapaxes(yr_s, -1, -2)
+    yit = jnp.swapaxes(yi_s, -1, -2)
+    rr = ozaki_matmul_split(yrt, yr_c.T, yr_s, yr_c, terms=terms)
+    ii = ozaki_matmul_split(yit, yi_c.T, yi_s, yi_c, terms=terms)
+    ri = ozaki_matmul_split(yrt, yr_c.T, yi_s, yi_c, terms=terms)
+    ir = ozaki_matmul_split(yit, yi_c.T, yr_s, yr_c, terms=terms)
+    return df_complex(df_add(rr, ii), df_sub(ri, ir))
+
+
+@functools.partial(jax.jit, static_argnames=("terms", "slices_b"))
+def _capply_right(y: DF, b: DF, terms: int, slices_b: int) -> DF:
+    """Complex ``Y @ B``."""
+    ysp = _csplit(y, DEFAULT_SLICES_DF, 1)
+    bsp = _csplit(b, slices_b, 0)
+    return _cmul_from_splits(ysp, bsp, terms)
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _cresidual(a: DF, u1, w1, terms: int) -> DF:
+    """Complex ``A - U1 @ W1`` (slice budget per ``_residual``)."""
+    s = max(terms, 8)
+    usp = _csplit(df(u1), s, 1)
+    wsp = _csplit(df(w1), s, 0)
+    return df_sub(a, _cmul_from_splits(usp, wsp, s))
+
+
+@functools.partial(jax.jit, static_argnames=("terms",))
+def _cproject(q: DF, a_sp, terms: int) -> DF:
+    """Complex ``B = Q^H A`` against a cached planar split of A:
+    ``(Qr^T Ar + Qi^T Ai) + i (Qr^T Ai - Qi^T Ar)``."""
+    qr, qi = df_real(q), df_imag(q)
+    qr_sp = ozaki_split(DF(qr.hi.T, qr.lo.T), DEFAULT_SLICES_DF,
+                        contract_axis=1)
+    qi_sp = ozaki_split(DF(qi.hi.T, qi.lo.T), DEFAULT_SLICES_DF,
+                        contract_axis=1)
+    (ars, arc), (ais, aic) = a_sp
+    rr = ozaki_matmul_split(*qr_sp, ars, arc, terms=terms)
+    ii = ozaki_matmul_split(*qi_sp, ais, aic, terms=terms)
+    ri = ozaki_matmul_split(*qr_sp, ais, aic, terms=terms)
+    ir = ozaki_matmul_split(*qi_sp, ars, arc, terms=terms)
+    return df_complex(df_add(rr, ii), df_sub(ri, ir))
+
+
+def cdf_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
+                    always_shift: bool = False):
+    """Complex CholeskyQR pass in planar Ozaki arithmetic (see
+    ``df_cholesky_qr``); host work is c128 LAPACK on the tiny Gram."""
+    ysp = _csplit_jit(y, DEFAULT_SLICES_DF, 0)
+    (yrs, yrc), (yis, yic) = ysp
+    g = df_to_f64(_cgram(yrs, yrc, yis, yic, terms))
+    g = (g + g.conj().T) / 2.0
+    m, l = y.shape[-2], g.shape[0]
+    if always_shift:
+        shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
+    else:
+        shift = 4.0 * np.finfo(np.float64).eps * np.trace(g).real / l
+    r64 = np.linalg.cholesky(g + shift * np.eye(l)).conj().T
+    rinv = df_from_f64(_tri_inv_c(r64))
+    q = _capply_right(y, rinv, terms, DEFAULT_SLICES_DF)
+    return q, r64
+
+
+def cdf_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
+                     shifted: bool = False):
+    """Complex CholeskyQR2 (mirror of ``df_cholesky_qr2``)."""
+    if shifted:
+        y, r0 = cdf_cholesky_qr(y, terms, always_shift=True)
+    q1, r1 = cdf_cholesky_qr(y, terms)
+    q2, r2 = cdf_cholesky_qr(q1, terms)
+    r = r2 @ r1
+    return q2, (r @ r0 if shifted else r)
+
+
+def _tri_inv_c(r64: np.ndarray) -> np.ndarray:
+    """c128 inverse of a small upper-triangular matrix (host LAPACK)."""
+    return np.linalg.solve(r64, np.eye(r64.shape[0], dtype=r64.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -220,9 +342,9 @@ class RefinedSVD(NamedTuple):
         return df_to_f64(self.u), self.s, self.vt
 
     def to_svd(self) -> SVD:
-        """Device-f32 view (drops the low parts) as a standard ``SVD``."""
+        """Device-f32/c64 view (drops the low parts) as a standard ``SVD``."""
         return SVD(self.u.hi, jnp.asarray(self.s, jnp.float32),
-                   jnp.asarray(self.vt, jnp.float32))
+                   jnp.asarray(self.vt, self.u.hi.dtype))
 
     def residual_fro(self, a64: np.ndarray) -> float:
         """Host f64 ``||A - U S Vt||_F / ||A||_F`` (the bench gate)."""
@@ -263,7 +385,8 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     """Randomized SVD of ``a`` to the f64 accuracy class on TPU.
 
     Args:
-      a: (m, n) real matrix — host f64 array or device ``DF``.
+      a: (m, n) matrix — host f64/c128 array or device ``DF`` (complex
+        pairs run through the planar 4x-real-product stages).
       key: PRNG key for the sketches.
       rank: target rank of each f32 round (default: ``round_rank`` or
         derived from tol search space); the final factorization is
@@ -289,21 +412,19 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
                          "capture size cannot be derived from tol alone)")
     k = int(round_rank if round_rank is not None else rank)
     a = df(a) if not isinstance(a, DF) else a
-    if jnp.iscomplexobj(a.hi):
-        raise NotImplementedError(
-            "refined_rsvd covers real dtypes; complex high-accuracy "
-            "lands via 4x real Ozaki products (tracked in BASELINE.md)")
+    iscx = jnp.iscomplexobj(a.hi)
     m, n = a.shape
     l = min(k + int(oversample), m, n)
 
     keys = jax.random.split(key, 1 + refine_rounds)
     u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
-    basis = jnp.asarray(u1, jnp.float32)
+    basis = u1
     history = []
     r = a
     u_i, w_i = u1, w1
+    residual_fn = _cresidual if iscx else _residual
     for i in range(refine_rounds):
-        r = _residual(r, u_i, w_i, terms=10)
+        r = residual_fn(r, u_i, w_i, terms=10)
         history.append(float(jnp.linalg.norm(r.hi)))
         u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
         # The new block overlaps span(basis) (the residual carries the
@@ -313,8 +434,8 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
         # harmless random directions — the projection B is recomputed
         # exactly below, so spurious directions only add truncatable
         # rows.
-        d = u_i - basis @ (basis.T @ u_i)
-        d = d - basis @ (basis.T @ d)
+        d = u_i - basis @ (herm(basis) @ u_i)
+        d = d - basis @ (herm(basis) @ d)
         basis = jnp.concatenate([basis, _orthonormalize_f32(d)], axis=1)
 
     # Polish the merged basis to ~2^-35 orthogonality (span-preserving).
@@ -323,10 +444,14 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     # overlap onto the existing basis, so the merge is not guaranteed
     # well-conditioned.
     y = DF(basis, jnp.zeros_like(basis))
-    q, _ = df_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
-
-    a_col = _split(a, DEFAULT_SLICES_DF, 0)
-    b = df_to_f64(df_project(q, a_col, terms))
+    if iscx:
+        q, _ = cdf_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
+        b = df_to_f64(_cproject(q, _csplit_jit(a, DEFAULT_SLICES_DF, 0),
+                                terms))
+    else:
+        q, _ = df_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
+        a_col = _split(a, DEFAULT_SLICES_DF, 0)
+        b = df_to_f64(df_project(q, a_col, terms))
     uh, s, vt = np.linalg.svd(b, full_matrices=False)
 
     kf = s.shape[0]
@@ -340,5 +465,6 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
         kf = min(kf, int(rank))
     uh = uh[:, :kf]
 
-    u = _apply_right(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
+    apply_fn = _capply_right if iscx else _apply_right
+    u = apply_fn(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
     return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history))

@@ -31,6 +31,7 @@ __all__ = [
     "df", "df_from_f64", "df_to_f64", "df_from_parts",
     "df_add", "df_sub", "df_neg", "df_add_f32", "df_mul_f32", "df_mul",
     "df_scale_pow2", "df_transpose", "df_abs_max", "df_norm_fro",
+    "df_real", "df_imag", "df_complex", "df_conj",
 ]
 
 
@@ -98,33 +99,44 @@ def two_prod(a, b):
 
 
 def df(x) -> DF:
-    """Coerce to DF: arrays of f64 split exactly; f32 get lo = 0."""
+    """Coerce to DF: arrays of f64/c128 split exactly; f32/c64 get
+    lo = 0. Complex pairs store c64 hi/lo — the additive EFTs below are
+    componentwise FP adds, so they remain error-free per component;
+    products must go planar (see highacc's complex stages)."""
     if isinstance(x, DF):
         return x
-    x = np.asarray(x) if isinstance(x, (np.ndarray, float, int)) else x
-    if hasattr(x, "dtype") and x.dtype == np.float64:
+    x = np.asarray(x) if isinstance(x, (np.ndarray, float, int, complex)) else x
+    if hasattr(x, "dtype") and x.dtype in (np.float64, np.complex128):
         return df_from_f64(x)
-    x = jnp.asarray(x, dtype=jnp.float32)
+    narrow = (jnp.complex64 if hasattr(x, "dtype")
+              and np.dtype(x.dtype).kind == "c" else jnp.float32)
+    x = jnp.asarray(x, dtype=narrow)
     return DF(x, jnp.zeros_like(x))
 
 
 def df_from_f64(x) -> DF:
-    """Exact split of f64 data into (hi, lo) f32 (host-side numpy path
-    works without jax x64; jax arrays require x64 enabled)."""
+    """Exact split of f64/c128 data into (hi, lo) f32/c64 (host-side
+    numpy path works without jax x64; jax arrays require x64 enabled)."""
+    if isinstance(x, (np.ndarray, jnp.ndarray)) and x.dtype.kind == "c":
+        wide, narrow = np.complex128, np.complex64
+    else:
+        wide, narrow = np.float64, np.float32
     if isinstance(x, np.ndarray) or np.isscalar(x):
-        x = np.asarray(x, dtype=np.float64)
-        hi = x.astype(np.float32)
-        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        x = np.asarray(x, dtype=wide)
+        hi = x.astype(narrow)
+        lo = (x - hi.astype(wide)).astype(narrow)
         return DF(jnp.asarray(hi), jnp.asarray(lo))
-    hi = x.astype(jnp.float32)
-    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    hi = x.astype(narrow)
+    lo = (x - hi.astype(x.dtype)).astype(narrow)
     return DF(hi, lo)
 
 
 def df_to_f64(x: DF) -> np.ndarray:
-    """Exact host-side f64 value of the pair."""
-    return (np.asarray(jax.device_get(x.hi), dtype=np.float64)
-            + np.asarray(jax.device_get(x.lo), dtype=np.float64))
+    """Exact host-side f64/c128 value of the pair."""
+    wide = (np.complex128 if np.dtype(np.asarray(
+        jax.device_get(x.hi)).dtype).kind == "c" else np.float64)
+    return (np.asarray(jax.device_get(x.hi)).astype(wide)
+            + np.asarray(jax.device_get(x.lo)).astype(wide))
 
 
 def df_from_parts(hi, lo) -> DF:
@@ -191,6 +203,28 @@ def df_transpose(x: DF) -> DF:
 
 
 # ---------------------------------------------------------------------------
+# Planar views for complex pairs (products go through real kernels)
+# ---------------------------------------------------------------------------
+
+
+def df_real(x: DF) -> DF:
+    return DF(jnp.real(x.hi), jnp.real(x.lo))
+
+
+def df_imag(x: DF) -> DF:
+    return DF(jnp.imag(x.hi), jnp.imag(x.lo))
+
+
+def df_complex(re: DF, im: DF) -> DF:
+    """Assemble a complex pair from planar real/imaginary DFs."""
+    return DF(jax.lax.complex(re.hi, im.hi), jax.lax.complex(re.lo, im.lo))
+
+
+def df_conj(x: DF) -> DF:
+    return DF(jnp.conjugate(x.hi), jnp.conjugate(x.lo))
+
+
+# ---------------------------------------------------------------------------
 # Reductions (f32-accuracy results; enough for gating/normalization)
 # ---------------------------------------------------------------------------
 
@@ -202,5 +236,5 @@ def df_abs_max(x: DF):
 def df_norm_fro(x: DF):
     """Frobenius norm to ~f32 relative accuracy, overflow-safe."""
     scale = jnp.maximum(df_abs_max(x), jnp.float32(1e-30))
-    y = x.hi / scale
+    y = jnp.abs(x.hi / scale)
     return scale * jnp.sqrt(jnp.sum(y * y))

@@ -122,3 +122,71 @@ class TestDFCholeskyQR:
         # span preserved: Y must be reconstructible from Q
         resid = y64 - q64 @ (q64.T @ y64)
         assert np.abs(resid).max() < 1e-6
+
+
+def decaying_matrix_c(seed, m, n, decay_rank=100, floor=1e-12):
+    """Complex analogue of ``decaying_matrix`` (c128, unitary factors)."""
+    rng = np.random.default_rng(seed)
+    k = min(m, n)
+    sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)), floor)
+    u, _ = np.linalg.qr(rng.standard_normal((m, k))
+                        + 1j * rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, k))
+                        + 1j * rng.standard_normal((n, k)))
+    return (u * sig) @ v.conj().T
+
+
+class TestRefinedRSVDComplex:
+    """Complex (c128-class) route: planar 4x-real-Ozaki-product stages.
+    Reference parity: the z-dtype macro instantiations (qr.rs:408-416)
+    with the 1e-12-class contracts of svd.rs:289-298."""
+
+    def test_reaches_1e8_class_c128(self):
+        a = decaying_matrix_c(0, 384, 384, decay_rank=80)
+        out = refined_rsvd(a, jax.random.PRNGKey(0), rank=90,
+                           refine_rounds=1)
+        assert out.residual_fro(a) < 5e-8
+
+    def test_tolerance_truncation_c128(self):
+        a = decaying_matrix_c(1, 300, 300, decay_rank=60)
+        out = refined_rsvd(a, jax.random.PRNGKey(1), round_rank=66,
+                           tol=1e-8, refine_rounds=1)
+        # spectrum hits 1e-8 at rank ceil(48*(60-1)/59): position of
+        # 10^(-10 k/59) < 1e-8
+        assert 44 <= out.rank <= 50, out.rank
+        assert out.residual_fro(a) < 5e-8
+
+    def test_unitary_left_factor(self):
+        a = decaying_matrix_c(2, 256, 200, decay_rank=50)
+        out = refined_rsvd(a, jax.random.PRNGKey(2), rank=60,
+                           refine_rounds=1)
+        u64 = df_to_f64(out.u)
+        assert u64.dtype == np.complex128
+        g = u64.conj().T @ u64
+        assert np.abs(g - np.eye(g.shape[0])).max() < 5e-9
+
+    def test_output_dtypes_c64(self):
+        a = decaying_matrix_c(3, 128, 96, decay_rank=30)
+        out = refined_rsvd(a, jax.random.PRNGKey(3), rank=32,
+                           refine_rounds=1)
+        svd32 = out.to_svd()
+        assert svd32.u.dtype == jnp.complex64
+        assert svd32.vt.dtype == jnp.complex64
+        assert svd32.s.dtype == jnp.float32
+
+
+class TestCDFCholeskyQR:
+    def test_orthogonality_beyond_f32_complex(self):
+        from rusty_compression_tpu.highacc import cdf_cholesky_qr2
+        from rusty_compression_tpu.utils.doublefloat import df
+
+        rng = np.random.default_rng(5)
+        y64 = (rng.standard_normal((300, 40))
+               + 1j * rng.standard_normal((300, 40)))
+        q, r = cdf_cholesky_qr2(df(y64))
+        q64 = df_to_f64(q)
+        ortho = np.abs(q64.conj().T @ q64 - np.eye(40)).max()
+        assert ortho < 5e-9, ortho   # far beyond c64's ~1e-7 floor
+        # QR identity holds to the Ozaki budget
+        rec = q64 @ r
+        assert np.abs(rec - y64).max() / np.abs(y64).max() < 5e-9
