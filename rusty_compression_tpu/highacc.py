@@ -58,8 +58,8 @@ from .utils.errors import CompressionError
 from .utils.precision import with_precision
 
 __all__ = [
-    "RefinedSVD", "refined_rsvd", "df_cholesky_qr2", "df_project",
-    "cdf_cholesky_qr2",
+    "RefinedSVD", "refined_rsvd", "refined_rsvd_batch",
+    "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
 
@@ -468,3 +468,21 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     apply_fn = _capply_right if iscx else _apply_right
     u = apply_fn(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
     return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history))
+
+
+def refined_rsvd_batch(blocks, key, **kwargs) -> list[RefinedSVD]:
+    """Refined rSVD over a sequence of same-shape blocks.
+
+    The pipeline is orchestrated host-side stage by stage, so batching
+    here means *compilation amortization*, not vmap: every jitted stage
+    (f32 rounds, Ozaki splits/products, DF CholeskyQR) is cached by
+    shape, so blocks 2..B pay zero compile time and the host round
+    trips stay O(L^2) scalars plus the (L, n) core per block. Blocks of
+    different shapes work too — each new shape compiles once.
+
+    Returns one ``RefinedSVD`` per block, in submission order, with
+    independent per-block sketches derived from ``key``.
+    """
+    blocks = list(blocks)
+    keys = jax.random.split(key, max(len(blocks), 1))
+    return [refined_rsvd(b, k, **kwargs) for b, k in zip(blocks, keys)]

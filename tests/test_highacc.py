@@ -190,3 +190,16 @@ class TestCDFCholeskyQR:
         # QR identity holds to the Ozaki budget
         rec = q64 @ r
         assert np.abs(rec - y64).max() / np.abs(y64).max() < 5e-9
+
+
+def test_refined_rsvd_batch():
+    from rusty_compression_tpu.highacc import refined_rsvd_batch
+
+    blocks = [decaying_matrix(s, 160, 160, decay_rank=40) for s in (10, 11)]
+    outs = refined_rsvd_batch(blocks, jax.random.PRNGKey(4), rank=46,
+                              refine_rounds=1)
+    assert len(outs) == 2
+    for out, a in zip(outs, blocks):
+        assert out.residual_fro(a) < 5e-8
+    # independent sketches: different blocks -> different factors
+    assert not np.allclose(df_to_f64(outs[0].u), df_to_f64(outs[1].u))
