@@ -212,17 +212,85 @@ def _qrcp_complex_kernel(ar_ref, ai_ref, used_ref, qr_ref, qi_ref,
     jax.lax.fori_loop(0, k, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def qrcp_panel_complex(a, k: int, *, used=None, interpret: bool = False):
+def _qrcp_complex_kernel_packed(ar_ref, ai_ref, used_ref, qp_ref, rp_ref,
+                                piv_ref, res_r, res_i, norms):
+    """Packed-plane variant of the complex kernel: the re/im planes of Q
+    live stacked in one (2m, k) output and those of R in one (2k, n)
+    output, so the kernel has the same 3-output structure as the f32
+    kernel (the 5-output form is the prime suspect for the Mosaic
+    UNIMPLEMENTED rejection on some backends — VERDICT r1 #8). All
+    plane slicing is on the sublane (first) axis with 8-aligned extents,
+    which Mosaic supports; lane-dim indexing stays one-hot as before.
+    """
+    m, n = ar_ref.shape
+    k = qp_ref.shape[1]
+
+    res_r[:] = ar_ref[:]
+    res_i[:] = ai_ref[:]
+    norms[:] = jnp.where(
+        used_ref[:] > 0, -1.0,
+        jnp.sum(res_r[:] * res_r[:] + res_i[:] * res_i[:], axis=0,
+                keepdims=True))
+    qp_ref[:] = jnp.zeros_like(qp_ref)
+    rp_ref[:] = jnp.zeros_like(rp_ref)
+    piv_ref[:] = jnp.zeros_like(piv_ref)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def body(i, _):
+        qr = qp_ref[0:m, :]
+        qi = qp_ref[m:, :]
+        j = jnp.argmax(norms[0, :]).astype(jnp.int32)
+        onehot_n = (col_ids == j).astype(jnp.float32)           # (1, n)
+        vr = dot(res_r[:], onehot_n.T)                          # (m, 1)
+        vi = dot(res_i[:], onehot_n.T)
+        qv_r = dot(qr.T, vr) + dot(qi.T, vi)                    # (k, 1)
+        qv_i = dot(qr.T, vi) - dot(qi.T, vr)
+        vr = vr - (dot(qr, qv_r) - dot(qi, qv_i))
+        vi = vi - (dot(qr, qv_i) + dot(qi, qv_r))
+        nv = jnp.sqrt(jnp.sum(vr * vr + vi * vi))
+        inv = jnp.where(nv > 0, 1.0 / jnp.where(nv > 0, nv, 1.0), 0.0)
+        ur, ui = vr * inv, vi * inv
+        rrow_r = dot(ur.T, res_r[:]) + dot(ui.T, res_i[:])      # (1, n)
+        rrow_i = dot(ur.T, res_i[:]) - dot(ui.T, res_r[:])
+        res_r[:] = res_r[:] - (ur * rrow_r - ui * rrow_i)
+        res_i[:] = res_i[:] - (ur * rrow_i + ui * rrow_r)
+        down = rrow_r * rrow_r + rrow_i * rrow_i
+        norms[:] = jnp.where(norms[:] < 0.0, norms[:],
+                             jnp.maximum(norms[:] - down, 0.0))
+        norms[:] = jnp.where(col_ids == j, -1.0, norms[:])
+        onehot_k = (k_ids == i).astype(jnp.float32)             # (1, k)
+        qp_ref[0:m, :] = qr + ur * onehot_k
+        qp_ref[m:, :] = qi + ui * onehot_k
+        rp_ref[0:k, :] = rp_ref[0:k, :] + onehot_k.T * rrow_r
+        rp_ref[k:, :] = rp_ref[k:, :] + onehot_k.T * rrow_i
+        piv_ref[:] = jnp.where(k_ids == i, j, piv_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "packed"))
+def qrcp_panel_complex(a, k: int, *, used=None, interpret: bool = False,
+                       packed: bool | None = None):
     """Complex64 pivoted Gram-Schmidt QR panel, planar Pallas kernel.
 
     Same contract as ``qrcp_panel`` for complex64 input: returns
     ``(q, r_orig, piv)`` with complex ``q``/``r_orig`` reassembled from
     the two real planes.
 
-    Explicit opt-in only (``pivoted_qr(mode="pallas")`` on c64): some TPU
-    backends reject the compiled kernel (UNIMPLEMENTED), so auto mode
-    keeps complex input on the XLA path.
+    ``packed`` selects the 3-output packed-plane kernel (default when
+    the plane extents are 8-aligned) vs the original 5-output form; the
+    packed layout exists because some backends reject the 5-output
+    kernel with Mosaic UNIMPLEMENTED.
+
+    Explicit opt-in only (``pivoted_qr(mode="pallas")`` on c64): auto
+    mode keeps complex input on the XLA path until the compiled kernel
+    is validated on the target backend.
     """
     m, n = a.shape
     if a.dtype != jnp.complex64:
@@ -234,6 +302,37 @@ def qrcp_panel_complex(a, k: int, *, used=None, interpret: bool = False):
     ar = jnp.real(a).astype(jnp.float32)
     ai = jnp.imag(a).astype(jnp.float32)
     f32 = jnp.float32
+    if packed is None:
+        packed = (m % 8 == 0) and (k % 8 == 0)
+    if packed:
+        if m % 8 or k % 8:
+            raise ValueError("packed complex kernel needs 8-aligned "
+                             f"plane extents, got m={m}, k={k}")
+        qp, rp, piv = pl.pallas_call(
+            _qrcp_complex_kernel_packed,
+            out_shape=(
+                jax.ShapeDtypeStruct((2 * m, k), f32),
+                jax.ShapeDtypeStruct((2 * k, n), f32),
+                jax.ShapeDtypeStruct((1, k), jnp.int32),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(3)),
+            scratch_shapes=[
+                pltpu.VMEM((m, n), f32),   # residual real plane
+                pltpu.VMEM((m, n), f32),   # residual imag plane
+                pltpu.VMEM((1, n), f32),   # column norms
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=16 * m * n * k + 16 * m * k * k,
+                bytes_accessed=8 * (m * n + m * k + k * n),
+                transcendentals=k,
+            ),
+            interpret=interpret,
+        )(ar, ai, used)
+        q = (qp[:m] + 1j * qp[m:]).astype(jnp.complex64)
+        r = (rp[:k] + 1j * rp[k:]).astype(jnp.complex64)
+        return q, r, piv[0]
     qr_, qi_, rr_, ri_, piv = pl.pallas_call(
         _qrcp_complex_kernel,
         out_shape=(

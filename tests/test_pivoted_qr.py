@@ -285,3 +285,22 @@ def test_auto_mode_never_selects_pallas_for_complex(key):
         assert _resolve_mode("auto", 64, 48, 16, jnp.float32) == "pallas"
     finally:
         pq._pallas_available = old
+
+
+def test_pallas_qrcp_complex_packed_matches_planar(key):
+    """The 3-output packed-plane complex kernel must reproduce the
+    5-output form exactly (same pivots, same factors) — it exists only
+    as a Mosaic-compatibility layout."""
+    from rusty_compression_tpu.ops.pallas.qrcp import qrcp_panel_complex
+
+    a = rc.random_gaussian(key, (64, 48), dtype=jnp.complex64)
+    q5, r5, p5 = qrcp_panel_complex(a, 16, interpret=True, packed=False)
+    q3, r3, p3 = qrcp_panel_complex(a, 16, interpret=True, packed=True)
+    np.testing.assert_array_equal(np.asarray(p5), np.asarray(p3))
+    np.testing.assert_allclose(np.asarray(q3), np.asarray(q5), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r3), np.asarray(r5), atol=1e-5)
+    # packed path demands 8-aligned plane extents when forced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        qrcp_panel_complex(a[:63], 16, interpret=True, packed=True)
