@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--oversample", type=int, default=8)
     ap.add_argument("--sample-size", type=int, default=16,
                     help="adaptive probe block size (with --tol)")
+    ap.add_argument("--highacc", action="store_true",
+                    help="with --tol: route blocks through the "
+                         "compensated-precision pipeline (f64 accuracy "
+                         "class on bf16 hardware; required for tol <= "
+                         "~1e-7, which exceeds the f32 device path)")
+    ap.add_argument("--round-rank", type=int, default=128,
+                    help="per-round capture rank of the highacc pipeline")
     ap.add_argument("--mesh", action="store_true",
                     help="shard block batches over all local devices")
     ap.add_argument("--bucket-floor", type=int, default=128)
@@ -110,6 +117,16 @@ def main(argv=None) -> int:
         mesh = make_mesh()
         print(f"mesh: {jax.local_device_count()} devices over 'blocks'")
 
+    if args.highacc:
+        if args.tol is None:
+            raise SystemExit("--highacc requires --tol")
+        from .parallel.scheduler import compress_heterogeneous_refined
+
+        results = compress_heterogeneous_refined(
+            blocks, jax.random.key(args.seed), rel_tol=args.tol,
+            round_rank=args.round_rank, bucket_floor=args.bucket_floor)
+        return _finish(args, results, indices, n_total)
+
     kwargs: dict = dict(bucket_floor=args.bucket_floor,
                         chunk_bytes=args.chunk_bytes, window=args.window)
     if args.precision:
@@ -128,6 +145,12 @@ def main(argv=None) -> int:
 
     results = compress_heterogeneous(
         blocks, jax.random.key(args.seed), mesh=mesh, **kwargs)
+    return _finish(args, results, indices, n_total)
+
+
+def _finish(args, results, indices, n_total) -> int:
+    from . import io as rcio
+    from .utils.logging import MetricsLogger
 
     # restore original submission indices when resuming a sub-list
     if indices != list(range(len(indices))):

@@ -224,11 +224,15 @@ def cdf_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     g = df_to_f64(_cgram(yrs, yrc, yis, yic, terms))
     g = (g + g.conj().T) / 2.0
     m, l = y.shape[-2], g.shape[0]
+    big_shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
     if always_shift:
-        shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
+        shift = big_shift
     else:
         shift = 4.0 * np.finfo(np.float64).eps * np.trace(g).real / l
-    r64 = np.linalg.cholesky(g + shift * np.eye(l)).conj().T
+    try:
+        r64 = np.linalg.cholesky(g + shift * np.eye(l)).conj().T
+    except np.linalg.LinAlgError:
+        r64 = np.linalg.cholesky(g + big_shift * np.eye(l)).conj().T
     rinv = df_from_f64(_tri_inv_c(r64))
     q = _capply_right(y, rinv, terms, DEFAULT_SLICES_DF)
     return q, r64
@@ -242,6 +246,12 @@ def cdf_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     q1, r1 = cdf_cholesky_qr(y, terms)
     q2, r2 = cdf_cholesky_qr(q1, terms)
     r = r2 @ r1
+    with jax.default_matmul_precision("highest"):
+        ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
+                                - jnp.eye(q2.shape[-1], dtype=q2.hi.dtype)))
+    if float(ortho) > 5e-7:
+        q2, r3 = cdf_cholesky_qr(q2, terms)
+        r = r3 @ r
     return q2, (r @ r0 if shifted else r)
 
 
@@ -281,12 +291,20 @@ def df_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     g = df_to_f64(_gram(ys, ysc, terms))
     g = (g + g.T) / 2.0
     m, l = y.shape[-2], g.shape[0]
+    big_shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
     if always_shift:
-        shift = 11.0 * (m * l + l * (l + 1)) * _U_OZAKI * np.linalg.norm(g)
+        shift = big_shift
     else:
         # Tiny guard for iterates that are rank-deficient at the DF floor.
         shift = 4.0 * np.finfo(np.float64).eps * np.trace(g) / l
-    r64 = np.linalg.cholesky(g + shift * np.eye(l)).T
+    try:
+        r64 = np.linalg.cholesky(g + shift * np.eye(l)).T
+    except np.linalg.LinAlgError:
+        # Exactly rank-deficient iterate (e.g. more basis columns than
+        # the block's numerical range, a padded-block stream): escalate
+        # to the always-existing shifted factorization; the caller's
+        # verification pass restores orthogonality.
+        r64 = np.linalg.cholesky(g + big_shift * np.eye(l)).T
     rinv = df_from_f64(_tri_inv(r64))
     q = _apply_right(y, rinv, terms, DEFAULT_SLICES_DF)
     return q, r64
@@ -307,6 +325,14 @@ def df_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     q1, r1 = df_cholesky_qr(y, terms)
     q2, r2 = df_cholesky_qr(q1, terms)
     r = r2 @ r1
+    # Escalated-shift escape hatch (rank-deficient merges): a cheap
+    # f32-level orthogonality check triggers one polishing pass.
+    with jax.default_matmul_precision("highest"):
+        ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
+                                - jnp.eye(q2.shape[-1], dtype=q2.hi.dtype)))
+    if float(ortho) > 5e-7:
+        q2, r3 = df_cholesky_qr(q2, terms)
+        r = r3 @ r
     return q2, (r @ r0 if shifted else r)
 
 
@@ -355,8 +381,20 @@ class RefinedSVD(NamedTuple):
 
 @with_precision
 def _orthonormalize_f32(y):
-    from .ops.orthogonalize import shifted_cholesky_qr3
-    return shifted_cholesky_qr3(y)[0]
+    # svqb, not a CholeskyQR variant: the deflated round-2 block is
+    # rank-deficient whenever the basis already spans the block's
+    # numerical range (padded blocks, over-ranked rounds). CholeskyQR
+    # kernels emit garbage columns beyond cond ~ 1/u, which poisons the
+    # DF merge; svqb emits its directions in descending-eigenvalue
+    # order, so the caller can slice off the numerically dead tail.
+    from .ops.orthogonalize import svqb
+    return svqb(y)
+
+
+@with_precision
+def _gram_eigvals(d):
+    """Ascending eigenvalues of the f32 Gram matrix (rank probe)."""
+    return jnp.linalg.eigvalsh(herm(d) @ d)
 
 
 @with_precision
@@ -430,13 +468,40 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
         # The new block overlaps span(basis) (the residual carries the
         # previous round's *in-span* factor error too), so the raw
         # concatenation is near rank-deficient. Deflate in f32 (twice is
-        # enough) and re-orthonormalize; near-noise columns come out as
-        # harmless random directions — the projection B is recomputed
-        # exactly below, so spurious directions only add truncatable
-        # rows.
+        # enough), svqb the remainder, then append only the directions
+        # an *exact* (host f64) Gram certifies as independent: a padded
+        # or small block's content subspace can be narrower than the
+        # ambient min(m, n), and columns beyond its dimension are
+        # structurally impossible to orthonormalize — they turned the
+        # DF-merge Gram exactly singular and cost ~sqrt(shift) of span
+        # accuracy. Structural fillers show exact-Gram eigenvalues at
+        # the f64 rounding floor (~1e-16); genuinely-but-barely tilted
+        # directions (lam 1e-10..1e-4, i.e. sin(angle) 1e-5..1e-2) are
+        # KEPT — the DF CholeskyQR2 merge handles cond up to ~1e13, and
+        # dropping them costs sin(angle)*||r|| of capture. An f32 probe
+        # cannot draw this line; its noise floor sits inside the
+        # genuine range.
+        room = min(m, n) - basis.shape[1]
+        if room <= 0:
+            break
         d = u_i - basis @ (herm(basis) @ u_i)
         d = d - basis @ (herm(basis) @ d)
-        basis = jnp.concatenate([basis, _orthonormalize_f32(d)], axis=1)
+        dq = _orthonormalize_f32(d)[:, :room]
+        cand = jnp.concatenate([basis, dq], axis=1)
+        # Fast path: an on-device f32 Gram certifies independence when
+        # its min eigenvalue clears the f32 noise floor (~l*eps) — the
+        # typical big-block case; no host round trip.
+        lam32 = np.asarray(_gram_eigvals(cand))
+        if lam32[0] > 1e-3 * lam32[-1]:
+            basis = cand
+            continue
+        cand = np.asarray(cand)
+        c64 = cand.astype(np.complex128 if iscx else np.float64)
+        lam = np.linalg.eigvalsh(c64.conj().T @ c64)
+        keep = int(np.sum(lam > 1e-12 * lam[-1])) - basis.shape[1]
+        if keep <= 0:
+            break
+        basis = jnp.asarray(cand[:, :basis.shape[1] + keep])
 
     # Polish the merged basis to ~2^-35 orthogonality (span-preserving).
     # The shifted first pass is required: deflated near-noise columns

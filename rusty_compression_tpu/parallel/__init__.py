@@ -41,6 +41,7 @@ from .scheduler import (
     BlockResult,
     bucket_dim,
     compress_heterogeneous,
+    compress_heterogeneous_refined,
     plan_buckets,
 )
 from .sharded import RowShardedOperator
@@ -54,5 +55,6 @@ __all__ = [
     "compress_blocks_adaptive",
     "RowShardedOperator",
     "BlockResult", "bucket_dim", "plan_buckets", "compress_heterogeneous",
+    "compress_heterogeneous_refined",
     "initialize", "global_mesh", "local_block_slice", "gather_factors",
 ]

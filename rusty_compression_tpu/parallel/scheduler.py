@@ -41,6 +41,7 @@ __all__ = [
     "bucket_dim",
     "plan_buckets",
     "compress_heterogeneous",
+    "compress_heterogeneous_refined",
 ]
 
 
@@ -271,6 +272,66 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
             collect(in_flight.pop(0))
     for work in in_flight:
         collect(work)
+    elapsed = time.perf_counter() - t_start
+    if results and elapsed > 0:
+        total_bytes = sum(np.asarray(b).nbytes for b in blocks)
+        _log_throughput(len(results), elapsed, total_bytes)
+    return results  # type: ignore[return-value]
+
+
+def compress_heterogeneous_refined(blocks: Sequence, key,
+                                   rel_tol: float = 1e-8,
+                                   round_rank: int = 128,
+                                   bucket_floor: int = 128,
+                                   **kwargs) -> list[BlockResult]:
+    """Heterogeneous block stream at the north-star tolerance (<= 1e-8).
+
+    The device-side adaptive path (``compress_heterogeneous(rel_tol=)``)
+    is bounded by f32 accuracy (~1e-7); this driver routes every block
+    through the compensated-precision pipeline (``highacc.refined_rsvd``
+    — f32 HMT rounds + exact Ozaki residual refinement + DF merge),
+    reaching the reference's f64 accuracy class on bf16 hardware.
+
+    Orchestration is host-side per block (the refined pipeline is staged
+    through the host by design), but blocks are padded to the bucket
+    grid first so every jitted stage is compiled once per bucket shape —
+    the ``refined_rsvd_batch`` amortization. Zero padding is exact: zero
+    rows/columns contribute zero singular weight at every stage.
+
+    Blocks should be f64 (or c128) host arrays; ``rel_residual`` is
+    verified on host in full f64. Returns ``BlockResult``s in
+    submission order; ``factors`` is a ``models.SVD`` whose fields are
+    host f64/c128 numpy arrays (io-serializable; reconstruct in numpy
+    to keep the f64 accuracy — device ``to_mat`` would downcast when
+    x64 is off).
+    """
+    from ..highacc import refined_rsvd
+    from ..models.svd import SVD
+
+    shapes = [tuple(np.shape(b)) for b in blocks]
+    groups = plan_buckets(shapes, bucket_floor)
+    results: list[BlockResult | None] = [None] * len(shapes)
+    keys = jax.random.split(key, max(len(shapes), 1))
+    t_start = time.perf_counter()
+    for (bm, bn), idxs in sorted(groups.items()):
+        for i in idxs:
+            m, n = shapes[i]
+            b = np.asarray(blocks[i])
+            padded = np.zeros((bm, bn), dtype=np.promote_types(b.dtype,
+                                                               np.float64))
+            padded[:m, :n] = b
+            t0 = time.perf_counter()
+            out = refined_rsvd(padded, keys[i], round_rank=round_rank,
+                               tol=rel_tol, **kwargs)
+            u64, s64, vt64 = out.to_f64()
+            wall = time.perf_counter() - t0
+            u64, vt64 = u64[:m, :], vt64[:, :n]
+            rec = u64 @ (s64[:, None] * vt64)
+            err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
+            results[i] = BlockResult(
+                index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
+                rel_residual=err, wall_time_s=wall,
+                factors=SVD(u64, s64, vt64), device_time_s=wall)
     elapsed = time.perf_counter() - t_start
     if results and elapsed > 0:
         total_bytes = sum(np.asarray(b).nbytes for b in blocks)

@@ -70,3 +70,31 @@ def test_cli_nystrom(tmp_path, key):
     out = str(tmp_path / "ckpt_ny")
     assert main([blocks, "-o", out, "--rank", "8",
                  "--method", "nystrom"]) == 0
+
+
+def test_cli_highacc_tol(tmp_path):
+    """--tol --highacc routes through the compensated-precision pipeline
+    and checkpoints f64 SVD factors."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    sig = np.maximum(10 ** (-10 * np.arange(100) / 39), 1e-12)
+    u, _ = np.linalg.qr(rng.standard_normal((100, 100)))
+    v, _ = np.linalg.qr(rng.standard_normal((100, 100)))
+    a = (u * sig) @ v.T
+    inp = tmp_path / "blocks"
+    inp.mkdir()
+    np.save(inp / "b0.npy", a)
+    out = tmp_path / "ckpt"
+    from rusty_compression_tpu import cli
+
+    rc_ = cli.main([str(inp), "-o", str(out), "--tol", "1e-8", "--highacc",
+                    "--round-rank", "46", "--bucket-floor", "64"])
+    assert rc_ == 0
+    from rusty_compression_tpu import io as rcio
+
+    recs = rcio.load_block_results(str(out))
+    assert len(recs) == 1
+    assert recs[0]["rel_residual"] < 5e-8
+    f = recs[0]["factors"]
+    assert f.u.dtype == np.float64

@@ -327,3 +327,32 @@ def test_scheduler_requires_exactly_one_mode(key):
         par.compress_heterogeneous([np.eye(8)], key)
     with pytest.raises(ValueError, match="exactly one"):
         par.compress_heterogeneous([np.eye(8)], key, rank=2, rel_tol=0.1)
+
+
+def test_scheduler_refined_tol_1e8():
+    """North-star tolerance over a heterogeneous stream: every block
+    reaches rel residual <= 5e-8 through the compensated-precision
+    pipeline (beyond the f32 device-adaptive path's reach)."""
+    rng = np.random.default_rng(0)
+
+    def decaying(m, n, decay_rank=40):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    blocks = [decaying(150, 120), decaying(200, 150), decaying(150, 120)]
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(3), rel_tol=1e-8, round_rank=46,
+        bucket_floor=64)
+    assert [r.index for r in results] == [0, 1, 2]
+    for r, b in zip(results, blocks):
+        assert r.rel_residual < 5e-8, r.rel_residual
+        assert r.shape == b.shape
+        assert r.factors.u.dtype == np.float64
+        assert r.factors.u.shape == (b.shape[0], r.rank)
+        assert r.factors.vt.shape == (r.rank, b.shape[1])
+    # same bucket -> same compiled stages; distinct sketches per block
+    assert not np.allclose(results[0].factors.u, results[2].factors.u)
