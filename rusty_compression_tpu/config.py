@@ -51,6 +51,10 @@ class CompressionConfig:
     block_size: int = 128            # blocked-RRQR panel width
     bucket_floor: int = 128          # scheduler shape-bucket grid floor
 
+    # -- compensated-precision pipeline (tol <= ~1e-7 on bf16 hardware) -----
+    highacc: bool = False            # route through highacc.refined_rsvd
+    round_rank: int | None = None    # per-round capture rank (highacc)
+
     def __post_init__(self):
         if (self.rank is None) == (self.rel_tol is None):
             raise ValueError(
@@ -66,6 +70,13 @@ class CompressionConfig:
             raise ValueError(
                 "nystrom is the single-pass method; power_iters does not "
                 "apply (use method='rsvd' for power iteration)")
+        if self.highacc and self.rel_tol is None:
+            raise ValueError("highacc is the tolerance pipeline; set "
+                             "rel_tol= (and usually round_rank=)")
+        if self.highacc and self.round_rank is None and self.rank is None:
+            raise ValueError("highacc needs round_rank= (the per-round "
+                             "capture size cannot be derived from the "
+                             "tolerance alone)")
 
     # convenience constructors mirroring the reference enum spelling
     @classmethod
@@ -103,6 +114,19 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
     common: dict = {}
     if c.precision is not None:
         common["precision"] = c.precision
+
+    if c.highacc:
+        return _compress_highacc(target, key, c)
+    if (c.rel_tol is not None and c.rel_tol < 1e-7
+            and jax.default_backend() == "tpu"):
+        import warnings
+
+        warnings.warn(
+            f"rel_tol={c.rel_tol:g} is below the f32 device path's "
+            "accuracy floor (~1e-7 on TPU); the adaptive sampler will "
+            "stall at the hardware noise floor. Use "
+            "CompressionConfig.ADAPTIVE(tol, highacc=True, round_rank=k) "
+            "for the compensated-precision pipeline.", stacklevel=2)
 
     if isinstance(target, (list, tuple)):
         kwargs = dict(method=c.method, mesh=mesh,
@@ -161,3 +185,38 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
                              c.small_svd, **common)
     return block_fns[c.method](target, key, c.rank, mode=c.qr_mode,
                                block_size=c.block_size, **common)
+
+
+def _compress_highacc(target: Any, key, c: CompressionConfig):
+    """Route the compensated-precision pipeline (f64-accuracy class on
+    bf16 hardware; highacc.refined_rsvd).
+
+    Dense targets only — the pipeline's exact residual stages need the
+    matrix entries. Heterogeneous lists go through the bucket-amortized
+    scheduler driver and return ``BlockResult``s; a single matrix
+    returns ``(RefinedSVD, history)`` mirroring the adaptive path's
+    ``(svd, history)`` shape; a (B, m, n) stack returns a list of
+    ``RefinedSVD`` in order.
+    """
+    from .highacc import refined_rsvd, refined_rsvd_batch
+    from .parallel.scheduler import compress_heterogeneous_refined
+
+    # NOTE: c.oversample (reference default p=5) is NOT forwarded —
+    # the compensated pipeline has its own calibrated oversampling
+    # (refined_rsvd's default), sized for the capture each f32 round
+    # must achieve; p=5 measurably misses the 5*tol gate at tol 1e-8.
+    rk = c.round_rank if c.round_rank is not None else c.rank
+    if isinstance(target, (list, tuple)):
+        return compress_heterogeneous_refined(
+            target, key, rel_tol=c.rel_tol, round_rank=int(rk),
+            bucket_floor=c.bucket_floor)
+    if hasattr(target, "matmat"):
+        raise ValueError(
+            "highacc needs dense matrix entries (its residual stages are "
+            "exact Ozaki GEMMs on A itself); materialize the operator "
+            "first")
+    if np.ndim(target) == 3:
+        return refined_rsvd_batch(list(target), key, round_rank=int(rk),
+                                  tol=c.rel_tol)
+    out = refined_rsvd(target, key, round_rank=int(rk), tol=c.rel_tol)
+    return out, out.history

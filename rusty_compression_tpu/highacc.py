@@ -246,10 +246,13 @@ def cdf_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     q1, r1 = cdf_cholesky_qr(y, terms)
     q2, r2 = cdf_cholesky_qr(q1, terms)
     r = r2 @ r1
-    with jax.default_matmul_precision("highest"):
-        ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
-                                - jnp.eye(q2.shape[-1], dtype=q2.hi.dtype)))
-    if float(ortho) > 5e-7:
+    for _ in range(3):
+        with jax.default_matmul_precision("highest"):
+            ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
+                                    - jnp.eye(q2.shape[-1],
+                                              dtype=q2.hi.dtype)))
+        if float(ortho) <= 5e-7:
+            break
         q2, r3 = cdf_cholesky_qr(q2, terms)
         r = r3 @ r
     return q2, (r @ r0 if shifted else r)
@@ -325,12 +328,16 @@ def df_cholesky_qr2(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     q1, r1 = df_cholesky_qr(y, terms)
     q2, r2 = df_cholesky_qr(q1, terms)
     r = r2 @ r1
-    # Escalated-shift escape hatch (rank-deficient merges): a cheap
-    # f32-level orthogonality check triggers one polishing pass.
-    with jax.default_matmul_precision("highest"):
-        ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
-                                - jnp.eye(q2.shape[-1], dtype=q2.hi.dtype)))
-    if float(ortho) > 5e-7:
+    # Escalated-shift escape hatch (rank-deficient merges, direct QR of
+    # ill-conditioned inputs): a cheap f32-level orthogonality check
+    # triggers polishing passes until the factor settles.
+    for _ in range(3):
+        with jax.default_matmul_precision("highest"):
+            ortho = jnp.max(jnp.abs(herm(q2.hi) @ q2.hi
+                                    - jnp.eye(q2.shape[-1],
+                                              dtype=q2.hi.dtype)))
+        if float(ortho) <= 5e-7:
+            break
         q2, r3 = df_cholesky_qr(q2, terms)
         r = r3 @ r
     return q2, (r @ r0 if shifted else r)
@@ -454,6 +461,21 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     m, n = a.shape
     l = min(k + int(oversample), m, n)
 
+    # Saturated tall case: when the randomized capacity would fill the
+    # small dimension (l per round x rounds >= n < m), the sketched
+    # basis needs ~n in-span directions but every f32-computed column
+    # tilts ~1e-7 out of span(A); the tilts keep the merged Gram
+    # well-conditioned while hiding in-span rank deficiency, flooring
+    # the capture near 1e-7 (observed on direct 120x90 streams).
+    # Instead orthonormalize A's own columns in DF: every vector is an
+    # A-combination — in span(A) by construction, capture exact to the
+    # Ozaki product accuracy. (m <= n saturation is benign: the basis
+    # fills the whole ambient space, where no tilt exists.)
+    if m > n and l * (1 + refine_rounds) >= n:
+        qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
+        q, _ = qr2(a, terms, shifted=True)
+        return _finish_refined(a, q, iscx, terms, tol, rank, history=())
+
     keys = jax.random.split(key, 1 + refine_rounds)
     u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
     basis = u1
@@ -509,12 +531,21 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     # overlap onto the existing basis, so the merge is not guaranteed
     # well-conditioned.
     y = DF(basis, jnp.zeros_like(basis))
+    qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
+    q, _ = qr2(y, terms, shifted=refine_rounds > 0)
+    return _finish_refined(a, q, iscx, terms, tol, rank, tuple(history))
+
+
+def _finish_refined(a: DF, q: DF, iscx: bool, terms: int,
+                    tol: float | None, rank: int | None,
+                    history: tuple) -> RefinedSVD:
+    """Project, small-SVD, and truncate: the common tail of
+    ``refined_rsvd`` (svd.rs:171-183 sketch-then-factorize pattern at
+    DF accuracy; tolerance semantics of svd.rs:87-101)."""
     if iscx:
-        q, _ = cdf_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
         b = df_to_f64(_cproject(q, _csplit_jit(a, DEFAULT_SLICES_DF, 0),
                                 terms))
     else:
-        q, _ = df_cholesky_qr2(y, terms, shifted=refine_rounds > 0)
         a_col = _split(a, DEFAULT_SLICES_DF, 0)
         b = df_to_f64(df_project(q, a_col, terms))
     uh, s, vt = np.linalg.svd(b, full_matrices=False)

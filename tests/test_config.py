@@ -94,3 +94,51 @@ def test_bcoo_coerces_to_sparse_operator():
     from jax.experimental import sparse as jsparse
     op = rc.as_linear_operator(jsparse.BCOO.fromdense(jnp.eye(6)))
     assert type(op).__name__ == "SparseOperator"
+
+
+class TestHighaccFrontDoor:
+    """CompressionConfig(highacc=True) routes to the compensated-
+    precision pipeline for all three target shapes."""
+
+    @staticmethod
+    def _block(seed, m=120, n=90, dr=40):
+        rng = np.random.default_rng(seed)
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (dr - 1)), 1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="tolerance pipeline"):
+            rc.CompressionConfig.RANK(8, highacc=True)
+        with pytest.raises(ValueError, match="round_rank"):
+            rc.CompressionConfig.ADAPTIVE(1e-8, highacc=True)
+
+    def test_single_matrix(self):
+        a = self._block(0)
+        cfg = rc.CompressionConfig.ADAPTIVE(1e-8, highacc=True,
+                                            round_rank=46)
+        out, hist = rc.compress(a, jax.random.key(0), cfg)
+        u64, s64, vt64 = out.to_f64()
+        err = np.linalg.norm(u64 @ (s64[:, None] * vt64) - a)
+        assert err / np.linalg.norm(a) < 5e-8
+        # history is per-refinement-round; the saturated-tall direct
+        # route legitimately has zero rounds
+        assert isinstance(hist, tuple)
+
+    def test_list_routes_to_refined_scheduler(self):
+        blocks = [self._block(1), self._block(2, m=90, n=120)]
+        cfg = rc.CompressionConfig.ADAPTIVE(1e-8, highacc=True,
+                                            round_rank=46,
+                                            bucket_floor=64)
+        res = rc.compress(blocks, jax.random.key(1), cfg)
+        assert [r.index for r in res] == [0, 1]
+        assert all(r.rel_residual < 5e-8 for r in res)
+
+    def test_operator_rejected(self):
+        cfg = rc.CompressionConfig.ADAPTIVE(1e-8, highacc=True,
+                                            round_rank=16)
+        with pytest.raises(ValueError, match="dense"):
+            rc.compress(rc.DenseOperator(jnp.eye(32)), jax.random.key(0),
+                        cfg)

@@ -203,3 +203,42 @@ def test_refined_rsvd_batch():
         assert out.residual_fro(a) < 5e-8
     # independent sketches: different blocks -> different factors
     assert not np.allclose(df_to_f64(outs[0].u), df_to_f64(outs[1].u))
+
+
+class TestSaturatedShapes:
+    """Shapes where the randomized capacity saturates the small
+    dimension. Tall saturated inputs route through the direct DF
+    column orthonormalization (in-span by construction); every other
+    class keeps the sampled path. Regression for the ~1.5e-7 capture
+    floor from f32 basis tilt on direct tall streams."""
+
+    @pytest.mark.parametrize("shape", [(120, 90), (90, 120), (100, 100),
+                                       (300, 80)])
+    def test_direct_saturated_reaches_1e8(self, shape):
+        a = decaying_matrix(0, *shape, decay_rank=40)
+        out = refined_rsvd(a, jax.random.PRNGKey(1), round_rank=46,
+                           tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
+
+    def test_complex_tall_saturated(self):
+        a = (decaying_matrix(3, 120, 90, decay_rank=40)
+             + 1j * decaying_matrix(4, 120, 90, decay_rank=40))
+        out = refined_rsvd(a, jax.random.PRNGKey(2), round_rank=46,
+                           tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
+
+    def test_padded_stream_matches_unpadded(self):
+        """Zero-padding to a bucket grid must not cost accuracy (the
+        exact-Gram rank-revealing merge drops the structurally
+        dependent filler directions)."""
+        a = decaying_matrix(5, 100, 100, decay_rank=40)
+        outs = []
+        for pad in (100, 128):
+            p = np.zeros((pad, pad))
+            p[:100, :100] = a
+            out = refined_rsvd(p, jax.random.PRNGKey(3), round_rank=46,
+                               tol=1e-8)
+            u64, s64, vt64 = out.to_f64()
+            rec = (u64 @ (s64[:, None] * vt64))[:100, :100]
+            outs.append(np.linalg.norm(rec - a) / np.linalg.norm(a))
+        assert all(e < 5e-8 for e in outs), outs
