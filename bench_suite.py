@@ -218,7 +218,11 @@ def main():
     # 1e-8 the BASELINE.json primary metric asks for. Bytes counted at
     # f64 width (the data is f64-class, matching the reference's dgemm
     # pipelines and the CPU-host comparison rows).
-    from rusty_compression_tpu.highacc import refined_rsvd
+    # Fused single-dispatch capture (round 2): the stage-by-stage route
+    # paid 25 ms-1.5 s of tunnel flush latency ~30x per run and was
+    # latency-bound, not compute-bound (walls 13-50 s for ~100 ms of
+    # device work).
+    from rusty_compression_tpu.highacc import refined_rsvd_fused as refined_rsvd
 
     m6 = 1024 if SMALL else 4096
     rank_decay, r_gen = (60, 96) if SMALL else (120, 160)

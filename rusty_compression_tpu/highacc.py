@@ -58,7 +58,7 @@ from .utils.errors import CompressionError
 from .utils.precision import with_precision
 
 __all__ = [
-    "RefinedSVD", "refined_rsvd", "refined_rsvd_batch",
+    "RefinedSVD", "refined_rsvd", "refined_rsvd_fused", "refined_rsvd_batch",
     "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
@@ -564,6 +564,115 @@ def _finish_refined(a: DF, q: DF, iscx: bool, terms: int,
     apply_fn = _capply_right if iscx else _apply_right
     u = apply_fn(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
     return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history))
+
+
+# ---------------------------------------------------------------------------
+# Fused single-dispatch variant
+# ---------------------------------------------------------------------------
+
+
+@with_precision
+def _deflate_twice(basis, u):
+    """Two-pass block Gram-Schmidt of ``u`` against ``basis`` (f32)."""
+    d = u - basis @ (herm(basis) @ u)
+    return d - basis @ (herm(basis) @ d)
+
+
+@functools.partial(jax.jit, static_argnames=("l", "power_iters",
+                                             "refine_rounds", "terms",
+                                             "total"))
+def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
+                   terms: int, total: int):
+    """The whole high-accuracy capture as ONE XLA program.
+
+    f32 HMT rounds, the Ozaki DF residual, the deflate/svqb merge, the
+    Newton-Schulz DF orthonormalization (ops.ns_polar — the on-device
+    replacement for the host-LAPACK Cholesky of ``df_cholesky_qr2``),
+    and the DF projection ``B = Q^T A``, traced into a single jit.
+    Returns ``(q, b)``; the caller does the tiny host SVD of ``b``.
+
+    Motivation: the stage-by-stage route dispatches ~30 programs plus
+    host LAPACK round-trips per block; through the TPU tunnel each
+    dispatch costs 25 ms-1.5 s of flush latency (CLAUDE.md), which
+    dominated the official tol-1e-8 bench (13-50 s wall for ~100 ms of
+    device compute). Real dtypes only.
+    """
+    from .ops.ns_polar import df_orthonormalize_ns
+
+    keys = jax.random.split(key, 1 + refine_rounds)
+    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
+    basis = u1
+    r = a
+    u_i, w_i = u1, w1
+    for i in range(refine_rounds):
+        room = total - basis.shape[1]
+        if room <= 0:
+            break
+        r = _residual(r, u_i, w_i, terms=10)
+        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
+        # The new block overlaps span(basis) (see refined_rsvd); after
+        # the double deflation + svqb the merged basis's Gram condition
+        # sits around 1e2-1e4 — inside df_orthonormalize_ns's domain.
+        # (The host route's exact-f64 independence certification is
+        # data-dependent control flow and stays host-side; pathological
+        # rank-deficient streams should use refined_rsvd directly.)
+        dq = _orthonormalize_f32(_deflate_twice(basis, u_i))[:, :room]
+        basis = jnp.concatenate([basis, dq], axis=1)
+    q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms)
+    a_col = ozaki_split(a, DEFAULT_SLICES_DF, contract_axis=0)
+    b = _project(q, a_col[0], a_col[1], terms)
+    return q, b
+
+
+def refined_rsvd_fused(a, key, rank: int | None = None,
+                       tol: float | None = None, oversample: int = 10,
+                       power_iters: int = 2, refine_rounds: int = 1,
+                       terms: int = DEFAULT_TERMS_PRODUCT,
+                       round_rank: int | None = None) -> RefinedSVD:
+    """``refined_rsvd`` with the capture fused into one device program.
+
+    Identical semantics and accuracy class for the common case (real
+    dtype, non-saturated shapes, well-separated merges); 2 dispatches
+    total (capture; final ``U = Q Uhat``) instead of ~30 plus host
+    LAPACK round-trips — the difference between tunnel-latency-bound
+    and compute-bound. Falls back to ``refined_rsvd`` for complex
+    inputs and for the saturated-tall direct route (both need
+    data-dependent host logic).
+    """
+    if rank is None and round_rank is None:
+        raise ValueError("need rank= or round_rank= (the per-round "
+                         "capture size cannot be derived from tol alone)")
+    k = int(round_rank if round_rank is not None else rank)
+    a = df(a) if not isinstance(a, DF) else a
+    if jnp.iscomplexobj(a.hi):
+        return refined_rsvd(a, key, rank=rank, tol=tol, oversample=oversample,
+                            power_iters=power_iters,
+                            refine_rounds=refine_rounds, terms=terms,
+                            round_rank=round_rank)
+    m, n = a.shape
+    l = min(k + int(oversample), m, n)
+    if m > n and l * (1 + refine_rounds) >= n:
+        return refined_rsvd(a, key, rank=rank, tol=tol, oversample=oversample,
+                            power_iters=power_iters,
+                            refine_rounds=refine_rounds, terms=terms,
+                            round_rank=round_rank)
+    total = min(l * (1 + refine_rounds), m, n)
+    q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
+                          refine_rounds=refine_rounds, terms=terms,
+                          total=total)
+    b64 = df_to_f64(b)
+    uh, s, vt = np.linalg.svd(b64, full_matrices=False)
+    kf = s.shape[0]
+    if tol is not None:
+        below = np.nonzero(s / s[0] < tol)[0]
+        if below.size == 0:
+            raise CompressionError(
+                f"Could not compress to relative tolerance {tol!r}")
+        kf = int(below[0])
+    if rank is not None:
+        kf = min(kf, int(rank))
+    u = _apply_right(q, df_from_f64(uh[:, :kf]), terms, DEFAULT_SLICES_DF)
+    return RefinedSVD(u, s[:kf], vt[:kf, :], ())
 
 
 def refined_rsvd_batch(blocks, key, **kwargs) -> list[RefinedSVD]:

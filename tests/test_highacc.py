@@ -242,3 +242,92 @@ class TestSaturatedShapes:
             rec = (u64 @ (s64[:, None] * vt64))[:100, :100]
             outs.append(np.linalg.norm(rec - a) / np.linalg.norm(a))
         assert all(e < 5e-8 for e in outs), outs
+
+
+class TestNsPolar:
+    """Device-side DF orthonormalization (ops.ns_polar) — the
+    single-program replacement for the host-LAPACK Cholesky merge."""
+
+    @pytest.mark.parametrize("cond", [1e0, 1e2, 1e4])
+    def test_ortho_and_span_in_domain(self, cond):
+        from rusty_compression_tpu.ops.ns_polar import df_orthonormalize_ns
+        rng = np.random.default_rng(int(np.log10(cond)))
+        m, l = 600, 48
+        u, _ = np.linalg.qr(rng.standard_normal((m, l)))
+        s = np.geomspace(1.0, 1.0 / cond, l)
+        v, _ = np.linalg.qr(rng.standard_normal((l, l)))
+        y64 = (u * s) @ v.T
+        q64 = df_to_f64(df_orthonormalize_ns(df_from_f64(y64)))
+        ortho = np.abs(q64.T @ q64 - np.eye(l)).max()
+        span = (np.linalg.norm(y64 - q64 @ (q64.T @ y64))
+                / np.linalg.norm(y64))
+        # documented domain: Gram cond <= ~1e8 (basis cond 1e4)
+        assert ortho < 3e-8, ortho
+        assert span < 1e-7, span
+
+    def test_well_conditioned_hits_df_floor_class(self):
+        from rusty_compression_tpu.ops.ns_polar import df_orthonormalize_ns
+        rng = np.random.default_rng(9)
+        q0, _ = np.linalg.qr(rng.standard_normal((400, 64)))
+        # f32-orthonormal input (the fused pipeline's merge case)
+        y64 = np.asarray(np.asarray(q0, np.float32), np.float64)
+        q64 = df_to_f64(df_orthonormalize_ns(df_from_f64(y64)))
+        assert np.abs(q64.T @ q64 - np.eye(64)).max() < 1e-8
+
+
+class TestRefinedRSVDFused:
+    """Single-dispatch capture (refined_rsvd_fused) — must match the
+    host-orchestrated route's accuracy class and semantics."""
+
+    def test_matches_host_route_accuracy(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix(0, 512, 512)
+        host = refined_rsvd(a, jax.random.PRNGKey(0), round_rank=110,
+                            tol=1e-8)
+        fused = refined_rsvd_fused(a, jax.random.PRNGKey(0), round_rank=110,
+                                   tol=1e-8)
+        # tol-truncated: the residual IS the spectrum tail (~sigma_81
+        # ~ 8e-9 for this fixture) on both routes.
+        rf, rh = fused.residual_fro(a), host.residual_fro(a)
+        assert rf < 5e-8
+        assert rf < 2 * rh + 1e-9, (rf, rh)
+        assert abs(fused.rank - host.rank) <= 2
+
+    def test_rectangular(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix(1, 768, 384, decay_rank=80)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(2), rank=90,
+                                 refine_rounds=1)
+        assert out.residual_fro(a) < 5e-9
+        u64, _, _ = out.to_f64()
+        assert np.abs(u64.T @ u64 - np.eye(90)).max() < 1e-8
+
+    def test_tolerance_unreachable_raises(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix(4, 256, 256)
+        with pytest.raises(CompressionError):
+            refined_rsvd_fused(a, jax.random.PRNGKey(4), round_rank=60,
+                               tol=1e-30)
+
+    def test_complex_falls_back_to_host_route(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        # real+imag as independent low-rank draws => the complex matrix
+        # carries ~2x the component rank; what matters here is only
+        # that complex inputs route to the host pipeline (identical
+        # result, same key).
+        a = (decaying_matrix(3, 256, 192, decay_rank=60)
+             + 1j * decaying_matrix(4, 256, 192, decay_rank=60))
+        fused = refined_rsvd_fused(a, jax.random.PRNGKey(5), rank=70,
+                                   refine_rounds=1)
+        host = refined_rsvd(a, jax.random.PRNGKey(5), rank=70,
+                            refine_rounds=1)
+        assert np.isclose(fused.residual_fro(a), host.residual_fro(a),
+                          rtol=1e-6)
+        assert fused.rank == host.rank
+
+    def test_saturated_tall_falls_back(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix(6, 300, 80, decay_rank=40)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(6), round_rank=46,
+                                 tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
