@@ -41,3 +41,20 @@ def test_bench_headline_small(tmp_path):
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["unit"] == "GB/s" and rec["value"] > 0
     assert rec["extra"]["rel_error"] < 0.1
+
+
+def test_bench_kernels_small(tmp_path):
+    """bench_kernels.py (dispatch-immune in-program scan timing) keeps
+    running and records sane RRQR invariants on any backend."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, BENCH_SMALL="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, os.path.join(repo, "bench_kernels.py")],
+                       env=env, cwd=str(tmp_path), capture_output=True,
+                       text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(open(tmp_path / "BENCH_KERNELS.jsonl").read()
+                     .splitlines()[-1])
+    assert rec["rrqr"], rec
+    for row in rec["rrqr"]:
+        assert row["ortho"] < 5e-5, row   # f32 working-precision basis
+        assert row["ms"] > 0, row
