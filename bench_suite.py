@@ -75,195 +75,200 @@ def main():
         log(f"[{config}] {metric} = {value:.4g} {unit} "
             f"(gate {gate}: {'PASS' if gate_ok else 'FAIL'}{mfu_s})")
 
-    # ---- config 1: adaptive sampling, 500x500, tol 1e-5 ----------------
-    n = 200 if SMALL else 500
-    tol = 1e-4 if on_tpu else 1e-5
-    a = rc.random_approximate_low_rank_matrix(
-        jax.random.key(0), (n, n), 1.0, 1e-10, dtype=dt)
-    rc.sample_range_adaptive(a, jax.random.key(9), tol, 10)  # compile warmup
-    t0 = time.perf_counter()
-    q, hist = rc.sample_range_adaptive(a, jax.random.key(1), tol, 10)
-    wall = time.perf_counter() - t0
-    an, qn = np.asarray(a), np.asarray(q)
-    resid = np.linalg.norm(an - qn @ (np.conj(qn.T) @ an)) / np.linalg.norm(an)
-    record("1-adaptive", "wall_time", wall, "s",
-           f"rel residual <= 5x{tol:g}", resid <= 5 * tol,
-           {"achieved_rank": int(q.shape[1]), "rel_residual": float(resid)})
-
-    # ---- config 2: column ID of a Hilbert matrix -----------------------
-    n = 256 if SMALL else 1024
-    tol = 1e-5 if on_tpu else 1e-8
-    h = hilbert(n, dtype=dt)
-    # numerical rank of Hilbert at any tol is tiny; cap the factorization
-    # (exact sequential/Pallas pivoting path) instead of running n steps
-    qr_full = rc.QR.compute_from(h, max_rank=64)
-    qr_c = qr_full.compress(rc.CompressionType.ADAPTIVE(tol))
-    cid = qr_c.column_id()
-    err = float(rc.rel_diff_fro(cid.to_mat(), h))
-    # oracle: optimal rank-k Frobenius error of the true spectrum
-    s_h = np.asarray(jnp.linalg.svd(h, compute_uv=False))
-    e_opt = float(np.sqrt((s_h[cid.rank:] ** 2).sum()) / 
-                  np.sqrt((s_h ** 2).sum()))
-    # per-column exactness of C (the reference oracle)
-    cn, ind = np.asarray(cid.c), np.asarray(cid.col_ind)
-    hn = np.asarray(h)
-    col_exact = float(max(np.abs(cn[:, j] - hn[:, ind[j]]).max()
-                          for j in range(cid.rank)))
-    run2 = jax.jit(lambda h: rc.QR.compute_from(h, max_rank=64,
-                                                mode="auto"))
-    dt2 = timeit_slope(run2, h, n1=3, n2=23, trials=5)
-    gbps = h.size * h.dtype.itemsize / dt2 / 1e9
-    record("2-column-id", "throughput", gbps, "GB/s",
-           "rel err <= 10x optimal rank-k error & exact columns",
-           err <= 10 * e_opt + 100 * np.finfo(dt_name).eps
-           and col_exact < (1e-12 if not on_tpu else 1e-5),
-           {"rank": int(cid.rank), "rel_err": err, "e_opt": e_opt,
-            "col_exact": col_exact, "wall_s": dt2},
-           # truncated Householder QR to rank 64 (4 m n k) + the
-           # randomized pivot sketch (2 l m n, l = block+p)
-           flops=4 * n * n * 64 + 2 * 40 * n * n, seconds=dt2)
-
-    # ---- config 3: fixed-rank rSVD (k=100, q=2) ------------------------
-    m = 1024 if SMALL else 8192
-    k, p, q_it = (32, 8, 2) if SMALL else (100, 8, 2)
-    r = 4 * k
-    k1, k2 = jax.random.split(jax.random.key(2))
-    g1 = rc.random_gaussian(k1, (m, r), dtype=dt)
-    g2 = rc.random_gaussian(k2, (r, m), dtype=dt)
-    sig = jnp.geomspace(1.0, 1e-6, r, dtype=dt)
-    a3 = (g1 * sig[None, :]) @ g2
-    sync(a3)
-    small_svd = "gram" if on_tpu else "direct"
-    run3 = jax.jit(lambda a, key: rsvd_block(a, key, rank=k, oversample=p,
-                                             power_iters=q_it,
-                                             small_svd=small_svd))
-    dt3 = timeit_slope(run3, a3, jax.random.key(3), n1=3,
-                       n2=23 if on_tpu else 7, trials=3)
-    l = k + p
-    flops = (2 * m * m * l) * (2 * q_it + 2) + 8 * m * l * l
-    svd3 = run3(a3, jax.random.key(3))
-    err3 = float(rc.rel_diff_fro(svd3.to_mat(), a3))
-    record("3-rsvd", "compute", flops / dt3 / 1e9, "GFLOP/s",
-           "rel err <= 3x sigma_{k+1}",
-           err3 <= 3 * float(sig[k] / sig[0]),
-           {"wall_ms": dt3 * 1e3, "rel_err": err3,
-            "gbps": m * m * a3.dtype.itemsize / dt3 / 1e9},
-           flops=flops, seconds=dt3)
-
-    # ---- config 4: batched two-sided ID of BEM blocks ------------------
-    nb, mb = (4, 256) if SMALL else (8, 2048)
-    # the admissible-block spectrum hits the dtype's noise floor near
-    # rank ~20 (f32) / ~100 (f64); the interpolative solve must stay
-    # strictly inside the numerical rank
-    rank4 = 16 if SMALL else (16 if on_tpu else 100)
-    kt, ks = jax.random.split(jax.random.key(4))
-    blocks = []
-    for i in range(nb):
-        kti, ksi = jax.random.fold_in(kt, i), jax.random.fold_in(ks, i)
-        x = random_cloud(kti, mb, (0.0, 0.0, 0.0))
-        y = random_cloud(ksi, mb, (3.0, 0.0, 0.0))  # separated -> low rank
-        blocks.append(laplace_kernel_block(x, y, dtype=dt))
-    stack = jnp.stack(blocks)
-    sync(stack)
-    run4 = jax.jit(lambda s, key: batched_two_sided_id(s, key, rank=rank4))
-    dt4 = timeit_slope(run4, stack, jax.random.key(5), n1=1, n2=4, trials=3)
-    tsid = run4(stack, jax.random.key(5))
-    errs4 = np.asarray(batched_rel_diff_fro(tsid, stack))
-    blocks_s = nb / dt4
-    # ID coefficients solve against R11 with kappa ~ sigma_1/sigma_k
-    # (~5e5 here), so the f32 error floor is kappa * eps ~ 5e-3 — the
-    # same bound that makes the reference relax its f32 gates
-    # (row_interp_decomp.rs:231). f64 keeps the tight gate.
-    gate4 = 5e-3 if on_tpu else 1e-4
-    record("4-two-sided-id", "throughput", blocks_s, "blocks/s",
-           f"rel err <= {gate4:g} (admissible blocks)",
-           bool(np.all(errs4 <= gate4)),
-           {"gbps": stack.size * stack.dtype.itemsize / dt4 / 1e9,
-            "max_rel_err": float(errs4.max()), "block_dim": mb,
-            "rank": rank4},
-           # per block: truncated pivoted QR of (mb, mb) to rank k
-           # (4 m n k), LQ of C (4 m k^2), ID triangular solves (k^2 n)
-           flops=nb * (4 * mb * mb * rank4 + 4 * mb * rank4 ** 2
-                       + rank4 ** 2 * mb), seconds=dt4)
-
-    # ---- config 5: data-parallel scaling over the device mesh ----------
-    ndev = jax.local_device_count()
-    if ndev > 1:
-        nb5 = ndev * (2 if SMALL else 4)
-        mb5 = 128 if SMALL else 512
-        k5 = 16 if SMALL else 50
-        bl = rc.random_gaussian(jax.random.key(6), (nb5, mb5, mb5), dtype=dt)
-        sync(bl)
-        mesh = par.make_mesh()
-        run_1 = jax.jit(lambda b, key: par.compress_blocks(b, key, k5))
-        t_1 = timeit_slope(run_1, bl, jax.random.key(7), n1=1, n2=3,
-                           trials=3)
-        t_n = timeit_slope(
-            lambda b, key: par.compress_blocks(b, key, k5, mesh=mesh),
-            bl, jax.random.key(7), n1=1, n2=3, trials=3)
-        eff = (t_1 / t_n) / ndev
-        gate5 = ">= 80% linear" + (
-            "" if on_tpu else " (virtual devices share host cores; "
-            "expected to fail off-TPU)")
-        record("5-scaling", "efficiency", eff * 100, "%",
-               gate5, eff >= 0.8,
-               {"n_devices": ndev, "t_single_s": t_1, "t_mesh_s": t_n})
-    else:
-        log("[5-scaling] skipped: single device visible")
-
-    # ---- config 6: tol-1e-8 refined rSVD (the north-star tolerance) ----
-    # The f64-accuracy-class pipeline (highacc.refined_rsvd): f32 HMT
-    # rounds + Ozaki-GEMM residual refinement + DF merge. Runs on the
-    # MXU as bf16 slice products — THIS is the per-chip GB/s at tol
-    # 1e-8 the BASELINE.json primary metric asks for. Bytes counted at
-    # f64 width (the data is f64-class, matching the reference's dgemm
-    # pipelines and the CPU-host comparison rows).
-    # Fused single-dispatch capture (round 2): the stage-by-stage route
-    # paid 25 ms-1.5 s of tunnel flush latency ~30x per run and was
-    # latency-bound, not compute-bound (walls 13-50 s for ~100 ms of
-    # device work).
-    from rusty_compression_tpu.highacc import refined_rsvd_fused as refined_rsvd
-
-    m6 = 1024 if SMALL else 4096
-    rank_decay, r_gen = (60, 96) if SMALL else (120, 160)
-    rng6 = np.random.default_rng(6)
-    sig6 = 10.0 ** (-10.0 * np.arange(r_gen) / (rank_decay - 1))
-    u6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
-    v6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
-    a6 = (u6 * sig6) @ v6.T
-    k6 = int(rank_decay * 1.1)
-    tol6 = 1e-8
-
-    def run6():
-        return refined_rsvd(a6, jax.random.key(8), round_rank=k6,
-                            tol=tol6, refine_rounds=1)
-
-    out6 = run6()  # compile warmup (every jitted stage)
-    walls = []
-    for _ in range(2 if SMALL else 3):
+    # Any config crash (e.g. a tunnel/compile-helper death
+    # mid-run) must not lose the configs already measured:
+    # record + append happen in the finally block.
+    try:
+        # ---- config 1: adaptive sampling, 500x500, tol 1e-5 ----------------
+        n = 200 if SMALL else 500
+        tol = 1e-4 if on_tpu else 1e-5
+        a = rc.random_approximate_low_rank_matrix(
+            jax.random.key(0), (n, n), 1.0, 1e-10, dtype=dt)
+        rc.sample_range_adaptive(a, jax.random.key(9), tol, 10)  # compile warmup
         t0 = time.perf_counter()
-        out6 = run6()
-        walls.append(time.perf_counter() - t0)
-    wall6 = min(walls)
-    resid6 = out6.residual_fro(a6)
-    gbps6 = m6 * m6 * 8 / wall6 / 1e9
-    record("6-refined-1e-8", "throughput", gbps6, "GB/s",
-           f"rel resid <= 5x{tol6:g}", resid6 <= 5 * tol6,
-           {"wall_s": wall6, "rel_residual": float(resid6),
-            "rank": out6.rank, "walls": walls})
+        q, hist = rc.sample_range_adaptive(a, jax.random.key(1), tol, 10)
+        wall = time.perf_counter() - t0
+        an, qn = np.asarray(a), np.asarray(q)
+        resid = np.linalg.norm(an - qn @ (np.conj(qn.T) @ an)) / np.linalg.norm(an)
+        record("1-adaptive", "wall_time", wall, "s",
+               f"rel residual <= 5x{tol:g}", resid <= 5 * tol,
+               {"achieved_rank": int(q.shape[1]), "rel_residual": float(resid)})
 
-    with open("BENCH_SUITE.jsonl", "a") as f:
-        stamp = {"ts": time.time(), "results": results}
-        f.write(json.dumps(stamp) + "\n")
+        # ---- config 2: column ID of a Hilbert matrix -----------------------
+        n = 256 if SMALL else 1024
+        tol = 1e-5 if on_tpu else 1e-8
+        h = hilbert(n, dtype=dt)
+        # numerical rank of Hilbert at any tol is tiny; cap the factorization
+        # (exact sequential/Pallas pivoting path) instead of running n steps
+        qr_full = rc.QR.compute_from(h, max_rank=64)
+        qr_c = qr_full.compress(rc.CompressionType.ADAPTIVE(tol))
+        cid = qr_c.column_id()
+        err = float(rc.rel_diff_fro(cid.to_mat(), h))
+        # oracle: optimal rank-k Frobenius error of the true spectrum
+        s_h = np.asarray(jnp.linalg.svd(h, compute_uv=False))
+        e_opt = float(np.sqrt((s_h[cid.rank:] ** 2).sum()) / 
+                      np.sqrt((s_h ** 2).sum()))
+        # per-column exactness of C (the reference oracle)
+        cn, ind = np.asarray(cid.c), np.asarray(cid.col_ind)
+        hn = np.asarray(h)
+        col_exact = float(max(np.abs(cn[:, j] - hn[:, ind[j]]).max()
+                              for j in range(cid.rank)))
+        run2 = jax.jit(lambda h: rc.QR.compute_from(h, max_rank=64,
+                                                    mode="auto"))
+        dt2 = timeit_slope(run2, h, n1=3, n2=23, trials=5)
+        gbps = h.size * h.dtype.itemsize / dt2 / 1e9
+        record("2-column-id", "throughput", gbps, "GB/s",
+               "rel err <= 10x optimal rank-k error & exact columns",
+               err <= 10 * e_opt + 100 * np.finfo(dt_name).eps
+               and col_exact < (1e-12 if not on_tpu else 1e-5),
+               {"rank": int(cid.rank), "rel_err": err, "e_opt": e_opt,
+                "col_exact": col_exact, "wall_s": dt2},
+               # truncated Householder QR to rank 64 (4 m n k) + the
+               # randomized pivot sketch (2 l m n, l = block+p)
+               flops=4 * n * n * 64 + 2 * 40 * n * n, seconds=dt2)
 
-    print("\n| config | metric | value | MFU | accuracy gate |")
-    print("|---|---|---|---|---|")
-    for r_ in results:
-        mfu_cell = (f"{r_['mfu_pct']:.1f}%" if "mfu_pct" in r_ else "—")
-        print(f"| {r_['config']} | {r_['metric']} | {r_['value']:.4g} "
-              f"{r_['unit']} | {mfu_cell} | "
-              f"{'PASS' if r_['gate_ok'] else 'FAIL'}: "
-              f"{r_['accuracy_gate']} |")
+        # ---- config 3: fixed-rank rSVD (k=100, q=2) ------------------------
+        m = 1024 if SMALL else 8192
+        k, p, q_it = (32, 8, 2) if SMALL else (100, 8, 2)
+        r = 4 * k
+        k1, k2 = jax.random.split(jax.random.key(2))
+        g1 = rc.random_gaussian(k1, (m, r), dtype=dt)
+        g2 = rc.random_gaussian(k2, (r, m), dtype=dt)
+        sig = jnp.geomspace(1.0, 1e-6, r, dtype=dt)
+        a3 = (g1 * sig[None, :]) @ g2
+        sync(a3)
+        small_svd = "gram" if on_tpu else "direct"
+        run3 = jax.jit(lambda a, key: rsvd_block(a, key, rank=k, oversample=p,
+                                                 power_iters=q_it,
+                                                 small_svd=small_svd))
+        dt3 = timeit_slope(run3, a3, jax.random.key(3), n1=3,
+                           n2=23 if on_tpu else 7, trials=3)
+        l = k + p
+        flops = (2 * m * m * l) * (2 * q_it + 2) + 8 * m * l * l
+        svd3 = run3(a3, jax.random.key(3))
+        err3 = float(rc.rel_diff_fro(svd3.to_mat(), a3))
+        record("3-rsvd", "compute", flops / dt3 / 1e9, "GFLOP/s",
+               "rel err <= 3x sigma_{k+1}",
+               err3 <= 3 * float(sig[k] / sig[0]),
+               {"wall_ms": dt3 * 1e3, "rel_err": err3,
+                "gbps": m * m * a3.dtype.itemsize / dt3 / 1e9},
+               flops=flops, seconds=dt3)
+
+        # ---- config 4: batched two-sided ID of BEM blocks ------------------
+        nb, mb = (4, 256) if SMALL else (8, 2048)
+        # the admissible-block spectrum hits the dtype's noise floor near
+        # rank ~20 (f32) / ~100 (f64); the interpolative solve must stay
+        # strictly inside the numerical rank
+        rank4 = 16 if SMALL else (16 if on_tpu else 100)
+        kt, ks = jax.random.split(jax.random.key(4))
+        blocks = []
+        for i in range(nb):
+            kti, ksi = jax.random.fold_in(kt, i), jax.random.fold_in(ks, i)
+            x = random_cloud(kti, mb, (0.0, 0.0, 0.0))
+            y = random_cloud(ksi, mb, (3.0, 0.0, 0.0))  # separated -> low rank
+            blocks.append(laplace_kernel_block(x, y, dtype=dt))
+        stack = jnp.stack(blocks)
+        sync(stack)
+        run4 = jax.jit(lambda s, key: batched_two_sided_id(s, key, rank=rank4))
+        dt4 = timeit_slope(run4, stack, jax.random.key(5), n1=1, n2=4, trials=3)
+        tsid = run4(stack, jax.random.key(5))
+        errs4 = np.asarray(batched_rel_diff_fro(tsid, stack))
+        blocks_s = nb / dt4
+        # ID coefficients solve against R11 with kappa ~ sigma_1/sigma_k
+        # (~5e5 here), so the f32 error floor is kappa * eps ~ 5e-3 — the
+        # same bound that makes the reference relax its f32 gates
+        # (row_interp_decomp.rs:231). f64 keeps the tight gate.
+        gate4 = 5e-3 if on_tpu else 1e-4
+        record("4-two-sided-id", "throughput", blocks_s, "blocks/s",
+               f"rel err <= {gate4:g} (admissible blocks)",
+               bool(np.all(errs4 <= gate4)),
+               {"gbps": stack.size * stack.dtype.itemsize / dt4 / 1e9,
+                "max_rel_err": float(errs4.max()), "block_dim": mb,
+                "rank": rank4},
+               # per block: truncated pivoted QR of (mb, mb) to rank k
+               # (4 m n k), LQ of C (4 m k^2), ID triangular solves (k^2 n)
+               flops=nb * (4 * mb * mb * rank4 + 4 * mb * rank4 ** 2
+                           + rank4 ** 2 * mb), seconds=dt4)
+
+        # ---- config 5: data-parallel scaling over the device mesh ----------
+        ndev = jax.local_device_count()
+        if ndev > 1:
+            nb5 = ndev * (2 if SMALL else 4)
+            mb5 = 128 if SMALL else 512
+            k5 = 16 if SMALL else 50
+            bl = rc.random_gaussian(jax.random.key(6), (nb5, mb5, mb5), dtype=dt)
+            sync(bl)
+            mesh = par.make_mesh()
+            run_1 = jax.jit(lambda b, key: par.compress_blocks(b, key, k5))
+            t_1 = timeit_slope(run_1, bl, jax.random.key(7), n1=1, n2=3,
+                               trials=3)
+            t_n = timeit_slope(
+                lambda b, key: par.compress_blocks(b, key, k5, mesh=mesh),
+                bl, jax.random.key(7), n1=1, n2=3, trials=3)
+            eff = (t_1 / t_n) / ndev
+            gate5 = ">= 80% linear" + (
+                "" if on_tpu else " (virtual devices share host cores; "
+                "expected to fail off-TPU)")
+            record("5-scaling", "efficiency", eff * 100, "%",
+                   gate5, eff >= 0.8,
+                   {"n_devices": ndev, "t_single_s": t_1, "t_mesh_s": t_n})
+        else:
+            log("[5-scaling] skipped: single device visible")
+
+        # ---- config 6: tol-1e-8 refined rSVD (the north-star tolerance) ----
+        # The f64-accuracy-class pipeline (highacc.refined_rsvd): f32 HMT
+        # rounds + Ozaki-GEMM residual refinement + DF merge. Runs on the
+        # MXU as bf16 slice products — THIS is the per-chip GB/s at tol
+        # 1e-8 the BASELINE.json primary metric asks for. Bytes counted at
+        # f64 width (the data is f64-class, matching the reference's dgemm
+        # pipelines and the CPU-host comparison rows).
+        # Fused single-dispatch capture (round 2): the stage-by-stage route
+        # paid 25 ms-1.5 s of tunnel flush latency ~30x per run and was
+        # latency-bound, not compute-bound (walls 13-50 s for ~100 ms of
+        # device work).
+        from rusty_compression_tpu.highacc import refined_rsvd_fused as refined_rsvd
+
+        m6 = 1024 if SMALL else 4096
+        rank_decay, r_gen = (60, 96) if SMALL else (120, 160)
+        rng6 = np.random.default_rng(6)
+        sig6 = 10.0 ** (-10.0 * np.arange(r_gen) / (rank_decay - 1))
+        u6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
+        v6, _ = np.linalg.qr(rng6.standard_normal((m6, r_gen)))
+        a6 = (u6 * sig6) @ v6.T
+        k6 = int(rank_decay * 1.1)
+        tol6 = 1e-8
+
+        def run6():
+            return refined_rsvd(a6, jax.random.key(8), round_rank=k6,
+                                tol=tol6, refine_rounds=1)
+
+        out6 = run6()  # compile warmup (every jitted stage)
+        walls = []
+        for _ in range(2 if SMALL else 3):
+            t0 = time.perf_counter()
+            out6 = run6()
+            walls.append(time.perf_counter() - t0)
+        wall6 = min(walls)
+        resid6 = out6.residual_fro(a6)
+        gbps6 = m6 * m6 * 8 / wall6 / 1e9
+        record("6-refined-1e-8", "throughput", gbps6, "GB/s",
+               f"rel resid <= 5x{tol6:g}", resid6 <= 5 * tol6,
+               {"wall_s": wall6, "rel_residual": float(resid6),
+                "rank": out6.rank, "walls": walls})
+
+    finally:
+        with open("BENCH_SUITE.jsonl", "a") as f:
+            stamp = {"ts": time.time(), "results": results}
+            f.write(json.dumps(stamp) + "\n")
+
+        print("\n| config | metric | value | MFU | accuracy gate |")
+        print("|---|---|---|---|---|")
+        for r_ in results:
+            mfu_cell = (f"{r_['mfu_pct']:.1f}%" if "mfu_pct" in r_ else "—")
+            print(f"| {r_['config']} | {r_['metric']} | {r_['value']:.4g} "
+                  f"{r_['unit']} | {mfu_cell} | "
+                  f"{'PASS' if r_['gate_ok'] else 'FAIL'}: "
+                  f"{r_['accuracy_gate']} |")
 
 
 if __name__ == "__main__":

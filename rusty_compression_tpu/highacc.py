@@ -657,9 +657,24 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
                             refine_rounds=refine_rounds, terms=terms,
                             round_rank=round_rank)
     total = min(l * (1 + refine_rounds), m, n)
-    q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
-                          refine_rounds=refine_rounds, terms=terms,
-                          total=total)
+    try:
+        q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
+                              refine_rounds=refine_rounds, terms=terms,
+                              total=total)
+    except jax.errors.JaxRuntimeError as ex:
+        # Environmental: the tunneled AOT compile helper intermittently
+        # drops large programs ("response body closed", HTTP 500 —
+        # same flakiness ops.pivoted_qr.pallas_available documents).
+        # The host-orchestrated route compiles ~30 small programs
+        # instead of one big one and gets through.
+        import warnings
+
+        warnings.warn(f"fused capture failed ({ex}); falling back to "
+                      "the host-orchestrated route", RuntimeWarning)
+        return refined_rsvd(a, key, rank=rank, tol=tol,
+                            oversample=oversample, power_iters=power_iters,
+                            refine_rounds=refine_rounds, terms=terms,
+                            round_rank=round_rank)
     b64 = df_to_f64(b)
     uh, s, vt = np.linalg.svd(b64, full_matrices=False)
     kf = s.shape[0]

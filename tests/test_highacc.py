@@ -331,3 +331,19 @@ class TestRefinedRSVDFused:
         out = refined_rsvd_fused(a, jax.random.PRNGKey(6), round_rank=46,
                                  tol=1e-8)
         assert out.residual_fro(a) < 5e-8
+
+    def test_compile_failure_falls_back(self, monkeypatch):
+        """A tunneled AOT-compile flake on the fused program must not
+        surface: the driver falls back to the host-orchestrated route
+        (the failure mode that killed a bench_suite run on TPU)."""
+        import rusty_compression_tpu.highacc as ha
+
+        def boom(*a, **k):
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: response body closed")
+        monkeypatch.setattr(ha, "_fused_capture", boom)
+        a = decaying_matrix(7, 256, 256)
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = ha.refined_rsvd_fused(a, jax.random.PRNGKey(7),
+                                        round_rank=110, tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
