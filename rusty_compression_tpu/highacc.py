@@ -595,10 +595,12 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
     host LAPACK round-trips per block; through the TPU tunnel each
     dispatch costs 25 ms-1.5 s of flush latency (CLAUDE.md), which
     dominated the official tol-1e-8 bench (13-50 s wall for ~100 ms of
-    device compute). Real dtypes only.
+    device compute). Complex inputs run the planar stages throughout
+    (4x-real Ozaki products; ns_polar's complex passes).
     """
     from .ops.ns_polar import df_orthonormalize_ns
 
+    iscx = jnp.iscomplexobj(a.hi)
     keys = jax.random.split(key, 1 + refine_rounds)
     u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
     basis = u1
@@ -608,7 +610,7 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         room = total - basis.shape[1]
         if room <= 0:
             break
-        r = _residual(r, u_i, w_i, terms=10)
+        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=10)
         u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
         # The new block overlaps span(basis) (see refined_rsvd); after
         # the double deflation + svqb the merged basis's Gram condition
@@ -619,8 +621,11 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         dq = _orthonormalize_f32(_deflate_twice(basis, u_i))[:, :room]
         basis = jnp.concatenate([basis, dq], axis=1)
     q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms)
-    a_col = ozaki_split(a, DEFAULT_SLICES_DF, contract_axis=0)
-    b = _project(q, a_col[0], a_col[1], terms)
+    if iscx:
+        b = _cproject(q, _csplit(a, DEFAULT_SLICES_DF, 0), terms)
+    else:
+        a_col = ozaki_split(a, DEFAULT_SLICES_DF, contract_axis=0)
+        b = _project(q, a_col[0], a_col[1], terms)
     return q, b
 
 
@@ -631,24 +636,20 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
                        round_rank: int | None = None) -> RefinedSVD:
     """``refined_rsvd`` with the capture fused into one device program.
 
-    Identical semantics and accuracy class for the common case (real
-    dtype, non-saturated shapes, well-separated merges); 2 dispatches
-    total (capture; final ``U = Q Uhat``) instead of ~30 plus host
-    LAPACK round-trips — the difference between tunnel-latency-bound
-    and compute-bound. Falls back to ``refined_rsvd`` for complex
-    inputs and for the saturated-tall direct route (both need
-    data-dependent host logic).
+    Identical semantics and accuracy class for the common case
+    (non-saturated shapes, well-separated merges); 2 dispatches total
+    (capture; final ``U = Q Uhat``) instead of ~30 plus host LAPACK
+    round-trips — the difference between tunnel-latency-bound and
+    compute-bound. Complex inputs run fused planar stages. Falls back
+    to ``refined_rsvd`` for the saturated-tall direct route (needs
+    data-dependent host logic) and on tunneled-compile failures.
     """
     if rank is None and round_rank is None:
         raise ValueError("need rank= or round_rank= (the per-round "
                          "capture size cannot be derived from tol alone)")
     k = int(round_rank if round_rank is not None else rank)
     a = df(a) if not isinstance(a, DF) else a
-    if jnp.iscomplexobj(a.hi):
-        return refined_rsvd(a, key, rank=rank, tol=tol, oversample=oversample,
-                            power_iters=power_iters,
-                            refine_rounds=refine_rounds, terms=terms,
-                            round_rank=round_rank)
+    iscx = jnp.iscomplexobj(a.hi)
     m, n = a.shape
     l = min(k + int(oversample), m, n)
     if m > n and l * (1 + refine_rounds) >= n:
@@ -661,12 +662,16 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
         q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
                               refine_rounds=refine_rounds, terms=terms,
                               total=total)
+        # Materialize inside the guard: dispatch is async, so backend
+        # rejections surface at the first fetch, not at the call.
+        b64 = df_to_f64(b)
     except jax.errors.JaxRuntimeError as ex:
         # Environmental: the tunneled AOT compile helper intermittently
-        # drops large programs ("response body closed", HTTP 500 —
-        # same flakiness ops.pivoted_qr.pallas_available documents).
-        # The host-orchestrated route compiles ~30 small programs
-        # instead of one big one and gets through.
+        # drops large programs ("response body closed", HTTP 500 — the
+        # flakiness ops.pivoted_qr.pallas_available documents), and
+        # some TPU backends reject pieces of the fused complex program
+        # (UNIMPLEMENTED). The host-orchestrated route compiles ~30
+        # small programs instead of one big one and gets through.
         import warnings
 
         warnings.warn(f"fused capture failed ({ex}); falling back to "
@@ -675,7 +680,6 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
                             oversample=oversample, power_iters=power_iters,
                             refine_rounds=refine_rounds, terms=terms,
                             round_rank=round_rank)
-    b64 = df_to_f64(b)
     uh, s, vt = np.linalg.svd(b64, full_matrices=False)
     kf = s.shape[0]
     if tol is not None:
@@ -686,7 +690,8 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
         kf = int(below[0])
     if rank is not None:
         kf = min(kf, int(rank))
-    u = _apply_right(q, df_from_f64(uh[:, :kf]), terms, DEFAULT_SLICES_DF)
+    apply_fn = _capply_right if iscx else _apply_right
+    u = apply_fn(q, df_from_f64(uh[:, :kf]), terms, DEFAULT_SLICES_DF)
     return RefinedSVD(u, s[:kf], vt[:kf, :], ())
 
 

@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.doublefloat import DF, df_add_f32, df_scale_pow2
-from .ozaki import ozaki_matmul, ozaki_matmul_split, ozaki_split
+from .ozaki import (ozaki_matmul, ozaki_matmul_complex, ozaki_matmul_split,
+                    ozaki_split)
 
 __all__ = ["df_orthonormalize_ns"]
 
@@ -101,24 +102,35 @@ def _df_metric_corrections(a: DF, z: DF, terms: int, corrections: int):
     *pre-update* metric error, so ``Z^T A Z = I - (3/4) e^2 + ...``.
     """
     l = z.shape[0]
-    eye = jnp.eye(l, dtype=z.hi.dtype)
+    iscx = jnp.iscomplexobj(z.hi)
+    eye = jnp.eye(l, dtype=jnp.float32)
     e_mat = None
     for _ in range(corrections):
-        w = ozaki_matmul(a, z, terms=terms)                # A Z
-        zt = DF(z.hi.T, z.lo.T)
+        if iscx:
+            w = ozaki_matmul_complex(a, z, terms=terms)    # A Z
+            zh = DF(z.hi.T, z.lo.T)
+            zw = ozaki_matmul_complex(zh, w, terms=terms, conj_a=True)
+        else:
+            w = ozaki_matmul(a, z, terms=terms)            # A Z
+            zw = ozaki_matmul(DF(z.hi.T, z.lo.T), w, terms=terms)
         # NOT symmetrized: the Ozaki gram's asymmetry is ~2^-35 (far
         # below anything the correction propagates), and a DF
         # symmetrization (two_sum against the transpose) deep inside
         # this graph sends XLA:CPU compile time from seconds to >10min.
-        e_mat = df_add_f32(ozaki_matmul(zt, w, terms=terms), -eye)
+        e_mat = df_add_f32(zw, -eye)
         c = df_add_f32(df_scale_pow2(e_mat, -0.5), eye)    # I - E/2
-        z = ozaki_matmul(z, c, terms=terms)
+        z = (ozaki_matmul_complex(z, c, terms=terms) if iscx
+             else ozaki_matmul(z, c, terms=terms))
     return z, e_mat
 
 
 def _df_gram(y: DF, terms: int) -> DF:
-    """``Y^T Y`` in Ozaki DF (slices reused transposed for the left
-    operand — the per-column scale of Y is the per-row scale of Y^T)."""
+    """``Y^H Y`` in Ozaki DF. Real path reuses the column-scaled slices
+    transposed for the left operand (the per-column scale of Y is the
+    per-row scale of Y^T); complex goes through 4 planar products."""
+    if jnp.iscomplexobj(y.hi):
+        yh = DF(y.hi.T, y.lo.T)
+        return ozaki_matmul_complex(yh, y, terms=terms, conj_a=True)
     ys, ysc = ozaki_split(y, 10, contract_axis=0)
     yt = jnp.swapaxes(ys, -1, -2)
     return ozaki_matmul_split(yt, ysc.T, ys, ysc, terms=terms)
@@ -126,6 +138,8 @@ def _df_gram(y: DF, terms: int) -> DF:
 
 def _df_apply(y: DF, z: DF, terms: int) -> DF:
     """Tall ``Y @ Z`` in Ozaki DF."""
+    if jnp.iscomplexobj(y.hi):
+        return ozaki_matmul_complex(y, z, terms=terms)
     ys, ysc = ozaki_split(y, 10, contract_axis=1)
     zs, zsc = ozaki_split(z, 10, contract_axis=0)
     return ozaki_matmul_split(ys, ysc, zs, zsc, terms=terms)
@@ -148,8 +162,9 @@ def _inv_sqrt_pass(g: DF, shift: float, iters: int, terms: int,
     gs = df_scale_pow2(g, jnp.ldexp(jnp.float32(1.0), -e))
     eye = jnp.eye(l, dtype=g.hi.dtype)
     a = df_add_f32(gs, jnp.float32(shift) * eye) if shift else gs
-    z0 = DF(_ns_inv_sqrt_f32(a.hi, iters), jnp.zeros((l, l), jnp.float32))
-    z, _ = _df_metric_corrections(a, z0, terms, corrections)
+    z32 = _ns_inv_sqrt_f32(a.hi, iters)
+    z, _ = _df_metric_corrections(a, DF(z32, jnp.zeros_like(z32)),
+                                  terms, corrections)
     return df_scale_pow2(z, jnp.ldexp(jnp.float32(1.0), -(e >> 1)))
 
 
@@ -169,8 +184,10 @@ def df_orthonormalize_ns(y: DF, terms: int = 7, corrections: int = 2):
     Domain: Gram condition number up to ~1e8 (basis singular values
     spanning <= 4 decades — anything an f32-orthonormalized merge can
     produce). Span-preserving for any input (the shift biases singular
-    values, never directions). Real DF only; the complex merge keeps
-    the host route (highacc.cdf_cholesky_qr2).
+    values, never directions). Complex DF inputs run the same passes
+    with planar 4x-real Ozaki products (ozaki_matmul_complex) and
+    complex f32 NS seeds — the on-device analogue of the reference's
+    z-kernel path (rusty-compression src/qr.rs:408-416).
     """
     q = y
     for shift, iters in _PASSES:

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from ..utils.doublefloat import DF, df, fast_two_sum, two_sum
 
-__all__ = ["ozaki_split", "ozaki_matmul", "ozaki_matmul_split", "ozaki_flops",
+__all__ = ["ozaki_split", "ozaki_matmul", "ozaki_matmul_split",
+           "ozaki_matmul_complex", "ozaki_flops",
            "DEFAULT_TERMS", "DEFAULT_W"]
 
 DEFAULT_W = 5          # slice mantissa bits: 2*5 + log2(16384) = 24 <= 24
@@ -145,6 +146,33 @@ def ozaki_matmul(a, b, *, terms: int = DEFAULT_TERMS, w: int = DEFAULT_W,
     b_slices, b_scale = ozaki_split(b, sb, w=w, contract_axis=0)
     return ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
                               terms=terms)
+
+
+def ozaki_matmul_complex(a: DF, b: DF, *, terms: int = DEFAULT_TERMS,
+                         conj_a: bool = False, conj_b: bool = False) -> DF:
+    """``a @ b`` for complex DF operands via 4 planar real Ozaki GEMMs.
+
+    The TPU MXU (and the slice scheme) is real-only; a complex DF is a
+    c64 hi/lo pair whose re/im planes are independent real DFs (the
+    additive EFTs in utils.doublefloat are componentwise). This is the
+    kernel the complex high-accuracy paths (highacc planar stages,
+    ns_polar complex merge) build on — the analogue of the reference's
+    LAPACK z-kernels (rusty-compression src/qr.rs:408-416).
+    """
+    from ..utils.doublefloat import (df_add, df_complex, df_imag, df_neg,
+                                     df_real, df_sub)
+
+    ar, ai = df_real(a), df_imag(a)
+    br, bi = df_real(b), df_imag(b)
+    if conj_a:
+        ai = df_neg(ai)
+    if conj_b:
+        bi = df_neg(bi)
+    rr = ozaki_matmul(ar, br, terms=terms)
+    ii = ozaki_matmul(ai, bi, terms=terms)
+    ri = ozaki_matmul(ar, bi, terms=terms)
+    ir = ozaki_matmul(ai, br, terms=terms)
+    return df_complex(df_sub(rr, ii), df_add(ri, ir))
 
 
 def ozaki_flops(m: int, n: int, k: int, terms: int = DEFAULT_TERMS) -> int:

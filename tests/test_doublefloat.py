@@ -152,3 +152,26 @@ class TestOzakiGemm:
         scale = (np.linalg.norm(a, axis=1)[:, None]
                  * np.linalg.norm(b, axis=0)[None, :])
         assert (np.abs(got - want) / scale).max() < 1e-13
+
+
+class TestOzakiComplex:
+    def test_matmul_complex_matches_c128(self):
+        from rusty_compression_tpu.ops.ozaki import ozaki_matmul_complex
+        r = rng(3)
+        a64 = (r.standard_normal((40, 30)) + 1j * r.standard_normal((40, 30)))
+        b64 = (r.standard_normal((30, 20)) + 1j * r.standard_normal((30, 20)))
+        out = df_to_f64(ozaki_matmul_complex(df_from_f64(a64),
+                                             df_from_f64(b64), terms=10))
+        ref = a64 @ b64
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-13
+
+    def test_matmul_complex_conjugation_flags(self):
+        from rusty_compression_tpu.ops.ozaki import ozaki_matmul_complex
+        r = rng(4)
+        a64 = (r.standard_normal((16, 24)) + 1j * r.standard_normal((16, 24)))
+        b64 = (r.standard_normal((16, 24)) + 1j * r.standard_normal((16, 24)))
+        at = df_from_f64(a64.T)
+        out = df_to_f64(ozaki_matmul_complex(at, df_from_f64(b64),
+                                             terms=10, conj_a=True))
+        ref = a64.conj().T @ b64
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-13

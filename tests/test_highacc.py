@@ -309,21 +309,17 @@ class TestRefinedRSVDFused:
             refined_rsvd_fused(a, jax.random.PRNGKey(4), round_rank=60,
                                tol=1e-30)
 
-    def test_complex_falls_back_to_host_route(self):
+    def test_complex_fused_reaches_1e8(self):
         from rusty_compression_tpu.highacc import refined_rsvd_fused
-        # real+imag as independent low-rank draws => the complex matrix
-        # carries ~2x the component rank; what matters here is only
-        # that complex inputs route to the host pipeline (identical
-        # result, same key).
-        a = (decaying_matrix(3, 256, 192, decay_rank=60)
-             + 1j * decaying_matrix(4, 256, 192, decay_rank=60))
-        fused = refined_rsvd_fused(a, jax.random.PRNGKey(5), rank=70,
-                                   refine_rounds=1)
-        host = refined_rsvd(a, jax.random.PRNGKey(5), rank=70,
-                            refine_rounds=1)
-        assert np.isclose(fused.residual_fro(a), host.residual_fro(a),
-                          rtol=1e-6)
-        assert fused.rank == host.rank
+        a = decaying_matrix_c(5, 300, 300, decay_rank=60)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(5), round_rank=66,
+                                 tol=1e-8, refine_rounds=1)
+        assert 44 <= out.rank <= 50, out.rank
+        assert out.residual_fro(a) < 5e-8
+        u64 = df_to_f64(out.u)
+        assert u64.dtype == np.complex128
+        g = u64.conj().T @ u64
+        assert np.abs(g - np.eye(g.shape[0])).max() < 5e-8
 
     def test_saturated_tall_falls_back(self):
         from rusty_compression_tpu.highacc import refined_rsvd_fused
@@ -347,3 +343,21 @@ class TestRefinedRSVDFused:
             out = ha.refined_rsvd_fused(a, jax.random.PRNGKey(7),
                                         round_rank=110, tol=1e-8)
         assert out.residual_fro(a) < 5e-8
+
+
+class TestNsPolarComplex:
+    def test_complex_ortho_and_span(self):
+        from rusty_compression_tpu.ops.ns_polar import df_orthonormalize_ns
+        rng = np.random.default_rng(2)
+        m, l = 500, 40
+        u, _ = np.linalg.qr(rng.standard_normal((m, l))
+                            + 1j * rng.standard_normal((m, l)))
+        s = np.geomspace(1.0, 1e-3, l)
+        v, _ = np.linalg.qr(rng.standard_normal((l, l))
+                            + 1j * rng.standard_normal((l, l)))
+        y64 = (u * s) @ v.conj().T
+        q64 = df_to_f64(df_orthonormalize_ns(df_from_f64(y64)))
+        assert np.abs(q64.conj().T @ q64 - np.eye(l)).max() < 3e-8
+        span = (np.linalg.norm(y64 - q64 @ (q64.conj().T @ y64))
+                / np.linalg.norm(y64))
+        assert span < 1e-7
