@@ -153,7 +153,7 @@ def _panel_qr(panel, method: str):
 
 
 def _qrcp_blocked(a, k: int, block: int, oversample: int, key,
-                  panel_method: str = "auto"):
+                  panel_method: str = "auto", pivot_kernel: str = "auto"):
     """Blocked randomized-pivot RRQR. Same return contract as ``_qrcp_gs``.
 
     Left-looking formulation (round 2; VERDICT r1 weak #3): the residual
@@ -185,8 +185,15 @@ def _qrcp_blocked(a, k: int, block: int, oversample: int, key,
     # Panel pivot selection runs on the small (l, n) sketch; on TPU f32
     # the fused Pallas QRCP kernel does it entirely in VMEM (the XLA
     # rank-1-update loop round-trips the sketch through HBM per step).
-    use_pallas = (dt == jnp.float32 and _pallas_fits(l, n, block)
-                  and pallas_available())
+    # Relative speed varies with the backend/tunnel state (round-1
+    # measurements favored Pallas 5.4 vs 7.3 ms at 4096^2 k=512; some
+    # round-2 windows favored the XLA loop) — ``pivot_kernel`` makes
+    # the choice sweepable (bench_kernels.py records both).
+    if pivot_kernel == "auto":
+        use_pallas = (dt == jnp.float32 and _pallas_fits(l, n, block)
+                      and pallas_available())
+    else:
+        use_pallas = pivot_kernel == "pallas"
 
     def select_pivots(sketch, used, b: int):
         if use_pallas:
@@ -296,9 +303,10 @@ def _resolve_mode(mode: str, m: int, n: int, k: int, dtype) -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("max_rank", "mode", "block_size",
-                                             "sketch_oversample", "panel_qr"))
+                                             "sketch_oversample", "panel_qr",
+                                             "pivot_kernel"))
 def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample,
-                     panel_qr="auto"):
+                     panel_qr="auto", pivot_kernel="auto"):
     m, n = a.shape
     k = min(m, n) if max_rank is None else min(max_rank, m, n)
     if mode == "auto":  # resolved in the wrapper; kept for direct callers
@@ -316,7 +324,7 @@ def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample,
     elif mode == "blocked":
         b = min(block_size, k)
         q, r_orig, piv, used = _qrcp_blocked(a, k, b, sketch_oversample, key,
-                                             panel_qr)
+                                             panel_qr, pivot_kernel)
     else:
         raise ValueError(f"unknown pivoted_qr mode: {mode!r}")
     ind = _full_permutation(piv, used, n, k)
@@ -326,7 +334,8 @@ def _pivoted_qr_impl(a, key, max_rank, mode, block_size, sketch_oversample,
 
 @with_precision
 def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
-               sketch_oversample: int = 8, panel_qr: str = "auto", key=None):
+               sketch_oversample: int = 8, panel_qr: str = "auto",
+               pivot_kernel: str = "auto", key=None):
     """Column-pivoted (rank-revealing) QR: ``a[:, ind] ~= q @ r``.
 
     Equivalent of the reference ``PivotedQR::pivoted_qr``
@@ -346,6 +355,9 @@ def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
       panel_qr: blocked-mode panel factorization — ``"house"``
         (Householder), ``"scholqr3"`` (all-GEMM shifted CholeskyQR3),
         or ``"auto"`` (scholqr3 on TPU, Householder elsewhere).
+      pivot_kernel: blocked-mode sketch pivot selection — ``"pallas"``
+        (fused VMEM kernel), ``"xla"`` (rank-1-update loop), or
+        ``"auto"`` (Pallas where available and the sketch fits VMEM).
       key: PRNG key for the blocked mode's pivot sketch (deterministic
         default).
 
@@ -364,7 +376,7 @@ def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
     k = min(m, n) if max_rank is None else min(int(max_rank), m, n)
     mode = _resolve_mode(mode, m, n, k, a.dtype)
     return _pivoted_qr_impl(a, key, max_rank, mode, block_size,
-                            sketch_oversample, panel_qr)
+                            sketch_oversample, panel_qr, pivot_kernel)
 
 
 def pivoted_lq(a, max_rank=None, **kwargs):
