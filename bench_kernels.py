@@ -79,6 +79,56 @@ def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 5,
     }
 
 
+def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
+                      r_gen: int = 160, trials: int = 5):
+    """Device-compute throughput of the tol-1e-8 fused capture.
+
+    bench_suite config 6 measures end-to-end wall time, which through
+    the tunnel is dominated by transfer + flush latency; on production
+    hardware (local chip) those costs vanish. This scan-timed variant
+    reports the device-side capture throughput — the per-chip GB/s at
+    tol 1e-8 that BASELINE.json's primary metric is about. The host
+    tail (an (L, n) f64 LAPACK SVD, ~ms) is excluded and noted.
+    """
+    from rusty_compression_tpu.highacc import _fused_capture
+    from rusty_compression_tpu.utils.doublefloat import DF, df_from_f64
+
+    rng = np.random.default_rng(6)
+    sig = 10.0 ** (-10.0 * np.arange(r_gen) / (rank_decay - 1))
+    u, _ = np.linalg.qr(rng.standard_normal((m, r_gen)))
+    v, _ = np.linalg.qr(rng.standard_normal((m, r_gen)))
+    a = df_from_f64((u * sig) @ v.T)
+    k = int(rank_decay * 1.1)
+    l = k + 10
+    key = jax.random.key(8)
+
+    def make(reps):
+        def body(c, _):
+            q, b = _fused_capture(DF(c, a.lo), key, l=l, power_iters=2,
+                                  refine_rounds=1, terms=7,
+                                  total=min(2 * l, m))
+            return c * (1.0 + 0.0 * b.hi[0, 0]), b.hi[0, 0]
+        return jax.jit(lambda hi: jax.lax.scan(body, hi, None,
+                                               length=reps)[0])
+
+    fa, fb = make(1), make(5)
+    sync(fa(a.hi))
+    sync(fb(a.hi))
+    slopes = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        sync(fa(a.hi))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(fb(a.hi))
+        slopes.append(((time.perf_counter() - t0) - ta) / 4)
+    per = float(np.median(slopes))
+    return {"m": m, "rank": k, "capture_ms": per * 1e3,
+            "device_gbps_at_1e-8": m * m * 8 / max(per, 1e-12) / 1e9,
+            "note": "capture only; host (L,n) f64 SVD tail excluded",
+            "slope_spread_ms": [round(s * 1e3, 1) for s in sorted(slopes)]}
+
+
 def main():
     t0 = time.perf_counter()
     x = jnp.ones((8, 8), jnp.float32)
@@ -110,10 +160,18 @@ def main():
               f"({r['tflops_equiv']:.2f} TFLOP/s-eq, ortho "
               f"{r['ortho']:.1e}) spread {r['slope_spread_ms']}",
               flush=True)
+    fused = measure_fused_1e8(m=512 if SMALL else 4096,
+                              rank_decay=40 if SMALL else 120,
+                              r_gen=64 if SMALL else 160,
+                              trials=2 if SMALL else 5)
+    print(f"[fused-1e8 {fused['m']}^2] capture {fused['capture_ms']:.1f} ms "
+          f"= {fused['device_gbps_at_1e-8']:.2f} GB/s device-side "
+          f"spread {fused['slope_spread_ms']}", flush=True)
+
     out = {"ts": time.time(), "health_roundtrip_s": health_s,
            "device": f"{dev.platform}:{dev.device_kind}",
            "pallas_available": bool(pallas_ok),
-           "rrqr": records}
+           "rrqr": records, "fused_1e8": fused}
     with open("BENCH_KERNELS.jsonl", "a") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
