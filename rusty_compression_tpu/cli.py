@@ -29,16 +29,27 @@ import numpy as np
 
 
 def _load_blocks(path: str) -> list[np.ndarray]:
+    """Load the block stream with bounded host memory.
+
+    ``.npy`` directories are opened as memory-mapped views: nothing is
+    read until the scheduler packs a block into its (byte-budgeted)
+    chunk stack, so peak RSS stays at the chunk budget + factors even
+    for block streams far larger than RAM. ``.npz`` bundles are a
+    single (usually compressed) archive and stay eager — use an .npy
+    directory for out-of-core streams. Submission order = sorted name
+    order in both cases.
+    """
     if os.path.isdir(path):
         files = sorted(f for f in os.listdir(path) if f.endswith(".npy"))
         if not files:
             raise SystemExit(f"no .npy blocks found in {path}")
-        return [np.load(os.path.join(path, f)) for f in files]
+        return [np.load(os.path.join(path, f), mmap_mode="r")
+                for f in files]
     if path.endswith(".npz"):
         with np.load(path) as z:
             return [z[k] for k in sorted(z.files)]
     if path.endswith(".npy"):
-        return [np.load(path)]
+        return [np.load(path, mmap_mode="r")]
     raise SystemExit(f"unsupported input {path!r} (.npy dir, .npz, or .npy)")
 
 

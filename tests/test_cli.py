@@ -98,3 +98,16 @@ def test_cli_highacc_tol(tmp_path):
     assert recs[0]["rel_residual"] < 5e-8
     f = recs[0]["factors"]
     assert f.u.dtype == np.float64
+
+
+def test_load_blocks_npy_dir_is_memory_mapped(tmp_path):
+    """Out-of-core streams: .npy directories must load as mmap views
+    (materialization happens per byte-budgeted scheduler chunk)."""
+    import numpy as np
+    from rusty_compression_tpu.cli import _load_blocks
+    for i in range(3):
+        np.save(tmp_path / f"b{i}.npy", np.full((8, 8), float(i)))
+    blocks = _load_blocks(str(tmp_path))
+    assert len(blocks) == 3
+    assert all(isinstance(b, np.memmap) for b in blocks)
+    assert float(blocks[2][0, 0]) == 2.0  # sorted-name submission order
