@@ -44,24 +44,30 @@ def _scan_bench(k: int, panel: str, reps: int, block: int, pivot: str):
     return jax.jit(lambda a: jax.lax.scan(body, a, None, length=reps)[0])
 
 
-def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 5,
+def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 6,
                  block: int = 128, pivot: str = "auto"):
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
-    fa = _scan_bench(k, panel, 2, block, pivot)
-    fb = _scan_bench(k, panel, 34, block, pivot)
+    ra, rb = 2, 66
+    fa = _scan_bench(k, panel, ra, block, pivot)
+    fb = _scan_bench(k, panel, rb, block, pivot)
     sync(fa(a))
     sync(fb(a))
-    slopes = []
+    # Min-statistics slope: tunnel flush latency jitters by up to
+    # seconds per dispatch, which a per-trial (tb-ta) slope inherits at
+    # jitter/(rb-ra) (observed +-30 ms — same order as the kernel).
+    # The latency has a hard floor, so min(tb) and min(ta) over trials
+    # converge; their difference estimates pure device time.
+    tas, tbs, slopes = [], [], []
     for _ in range(trials):
         t0 = time.perf_counter()
         sync(fa(a))
-        ta = time.perf_counter() - t0
+        tas.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         sync(fb(a))
-        tb = time.perf_counter() - t0
-        slopes.append((tb - ta) / 32)
-    per = float(np.median(slopes))
+        tbs.append(time.perf_counter() - t0)
+        slopes.append((tbs[-1] - tas[-1]) / (rb - ra))
+    per = (min(tbs) - min(tas)) / (rb - ra)
     # f64 correctness alongside the timing (the accuracy the judge
     # checks; computed on host so the measurement is policy-independent)
     q, r, ind = jax.jit(
@@ -114,15 +120,16 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
     fa, fb = make(1), make(5)
     sync(fa(a.hi))
     sync(fb(a.hi))
-    slopes = []
+    tas, tbs, slopes = [], [], []
     for _ in range(trials):
         t0 = time.perf_counter()
         sync(fa(a.hi))
-        ta = time.perf_counter() - t0
+        tas.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         sync(fb(a.hi))
-        slopes.append(((time.perf_counter() - t0) - ta) / 4)
-    per = float(np.median(slopes))
+        tbs.append(time.perf_counter() - t0)
+        slopes.append((tbs[-1] - tas[-1]) / 4)
+    per = (min(tbs) - min(tas)) / 4  # min-statistics (see measure_rrqr)
     return {"m": m, "rank": k, "capture_ms": per * 1e3,
             "device_gbps_at_1e-8": m * m * 8 / max(per, 1e-12) / 1e9,
             "note": "capture only; host (L,n) f64 SVD tail excluded",
@@ -142,39 +149,70 @@ def main():
     pallas_ok = pallas_available()
     print(f"# pallas pivot kernel available: {pallas_ok}", flush=True)
 
+    # c64 packed-plane Pallas QRCP compile status (VERDICT r1 item 8):
+    # records whether THIS backend accepts the 3-output packed kernel.
+    c64_status = "untried"
+    if pallas_ok and jax.default_backend() == "tpu":
+        try:
+            from rusty_compression_tpu.ops.pallas.qrcp import (
+                qrcp_panel_complex)
+            rngc = np.random.default_rng(1)
+            ac = jnp.asarray(rngc.standard_normal((64, 64))
+                             + 1j * rngc.standard_normal((64, 64)),
+                             jnp.complex64)
+            qc, _, _ = qrcp_panel_complex(ac, 32, packed=True)
+            qc = jax.device_get(qc)
+            oc = np.abs(np.conj(qc.T) @ qc - np.eye(32)).max()
+            c64_status = f"compiled+ran (ortho {oc:.1e})"
+        except Exception as ex:  # backend rejection is a finding, not a bug
+            c64_status = f"rejected: {type(ex).__name__}: {str(ex)[:120]}"
+    print(f"# c64 packed-plane pallas: {c64_status}", flush=True)
+
+    # Keep the sweep inside one healthy tunnel window (~70 s compile +
+    # measure per config): 4096^2 gets the full panel x block x pivot
+    # grid minus the round-1-rejected corners; 8192x2048 gets the two
+    # candidate bests.
     if SMALL:
         sweep = [((1024, 1024, 256), "scholqr3", 128, "auto")]
     else:
-        shapes = [(4096, 4096, 512), (8192, 2048, 512)]
-        sweep = [(s, panel, block, pivot)
-                 for s in shapes
+        pivots = ("pallas", "xla") if pallas_ok else ("xla",)
+        sweep = [((4096, 4096, 512), panel, block, pivot)
                  for panel in ("scholqr3", "house")
                  for block in (128, 256)
-                 for pivot in (("pallas", "xla") if pallas_ok else ("xla",))]
+                 for pivot in pivots]
+        sweep += [((8192, 2048, 512), "scholqr3", 256, p) for p in pivots]
+    # The fused-capture number is the headline; measure it FIRST so a
+    # window that degrades (or a harness timeout) mid-sweep still
+    # records it. The finally block persists whatever completed.
     records = []
-    for (m, n, k), panel, block, pivot in sweep:
-        r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot)
-        records.append(r)
-        print(f"[rrqr {m}x{n} k={k} panel={panel} b={block} piv={pivot}] "
-              f"{r['ms']:.2f} ms "
-              f"({r['tflops_equiv']:.2f} TFLOP/s-eq, ortho "
-              f"{r['ortho']:.1e}) spread {r['slope_spread_ms']}",
-              flush=True)
-    fused = measure_fused_1e8(m=512 if SMALL else 4096,
-                              rank_decay=40 if SMALL else 120,
-                              r_gen=64 if SMALL else 160,
-                              trials=2 if SMALL else 5)
-    print(f"[fused-1e8 {fused['m']}^2] capture {fused['capture_ms']:.1f} ms "
-          f"= {fused['device_gbps_at_1e-8']:.2f} GB/s device-side "
-          f"spread {fused['slope_spread_ms']}", flush=True)
+    fused = None
+    try:
+        fused = measure_fused_1e8(m=512 if SMALL else 4096,
+                                  rank_decay=40 if SMALL else 120,
+                                  r_gen=64 if SMALL else 160,
+                                  trials=2 if SMALL else 5)
+        print(f"[fused-1e8 {fused['m']}^2] capture "
+              f"{fused['capture_ms']:.1f} ms "
+              f"= {fused['device_gbps_at_1e-8']:.2f} GB/s device-side "
+              f"spread {fused['slope_spread_ms']}", flush=True)
 
-    out = {"ts": time.time(), "health_roundtrip_s": health_s,
-           "device": f"{dev.platform}:{dev.device_kind}",
-           "pallas_available": bool(pallas_ok),
-           "rrqr": records, "fused_1e8": fused}
-    with open("BENCH_KERNELS.jsonl", "a") as f:
-        f.write(json.dumps(out) + "\n")
-    print(json.dumps(out))
+        for (m, n, k), panel, block, pivot in sweep:
+            r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot)
+            records.append(r)
+            print(f"[rrqr {m}x{n} k={k} panel={panel} b={block} "
+                  f"piv={pivot}] {r['ms']:.2f} ms "
+                  f"({r['tflops_equiv']:.2f} TFLOP/s-eq, ortho "
+                  f"{r['ortho']:.1e}) spread {r['slope_spread_ms']}",
+                  flush=True)
+    finally:
+        out = {"ts": time.time(), "health_roundtrip_s": health_s,
+               "device": f"{dev.platform}:{dev.device_kind}",
+               "pallas_available": bool(pallas_ok),
+               "c64_packed_pallas": c64_status,
+               "rrqr": records, "fused_1e8": fused}
+        with open("BENCH_KERNELS.jsonl", "a") as f:
+            f.write(json.dumps(out) + "\n")
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
