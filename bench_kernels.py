@@ -151,21 +151,37 @@ def main():
 
     # c64 packed-plane Pallas QRCP compile status (VERDICT r1 item 8):
     # records whether THIS backend accepts the 3-output packed kernel.
+    # Probed in a SUBPROCESS: an UNIMPLEMENTED rejection poisons the
+    # backend state of the probing process (subsequent plain device_put
+    # calls fail — observed killing a whole sweep).
     c64_status = "untried"
     if pallas_ok and jax.default_backend() == "tpu":
+        import subprocess
+        import sys
+        probe = (
+            "import numpy as np, jax, jax.numpy as jnp\n"
+            "from rusty_compression_tpu.ops.pallas.qrcp import "
+            "qrcp_panel_complex\n"
+            "r = np.random.default_rng(1)\n"
+            "a = jnp.asarray(r.standard_normal((64, 64)) "
+            "+ 1j * r.standard_normal((64, 64)), jnp.complex64)\n"
+            "q, _, _ = qrcp_panel_complex(a, 32, packed=True)\n"
+            "q = jax.device_get(q)\n"
+            "print('ORTHO', np.abs(np.conj(q.T) @ q - np.eye(32)).max())\n")
         try:
-            from rusty_compression_tpu.ops.pallas.qrcp import (
-                qrcp_panel_complex)
-            rngc = np.random.default_rng(1)
-            ac = jnp.asarray(rngc.standard_normal((64, 64))
-                             + 1j * rngc.standard_normal((64, 64)),
-                             jnp.complex64)
-            qc, _, _ = qrcp_panel_complex(ac, 32, packed=True)
-            qc = jax.device_get(qc)
-            oc = np.abs(np.conj(qc.T) @ qc - np.eye(32)).max()
-            c64_status = f"compiled+ran (ortho {oc:.1e})"
-        except Exception as ex:  # backend rejection is a finding, not a bug
-            c64_status = f"rejected: {type(ex).__name__}: {str(ex)[:120]}"
+            res = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, text=True,
+                                 timeout=300,
+                                 cwd=os.path.dirname(os.path.abspath(
+                                     __file__)))
+            if res.returncode == 0 and "ORTHO" in res.stdout:
+                c64_status = ("compiled+ran (ortho "
+                              f"{res.stdout.split('ORTHO')[1].strip()})")
+            else:
+                tail = (res.stderr.strip().splitlines() or ["?"])[-1]
+                c64_status = f"rejected: {tail[:160]}"
+        except subprocess.TimeoutExpired:
+            c64_status = "probe timed out (tunnel)"
     print(f"# c64 packed-plane pallas: {c64_status}", flush=True)
 
     # Keep the sweep inside one healthy tunnel window (~70 s compile +
