@@ -58,7 +58,8 @@ from .utils.errors import CompressionError
 from .utils.precision import with_precision
 
 __all__ = [
-    "RefinedSVD", "refined_rsvd", "refined_rsvd_fused", "refined_rsvd_batch",
+    "RefinedSVD", "refined_rsvd", "refined_rsvd_fused",
+    "refined_rsvd_fused_batch", "refined_rsvd_batch",
     "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
@@ -693,6 +694,104 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
     apply_fn = _capply_right if iscx else _apply_right
     u = apply_fn(q, df_from_f64(uh[:, :kf]), terms, DEFAULT_SLICES_DF)
     return RefinedSVD(u, s[:kf], vt[:kf, :], ())
+
+
+@functools.partial(jax.jit, static_argnames=("l", "power_iters",
+                                             "refine_rounds", "terms",
+                                             "total"))
+def _fused_capture_vmapped(hi, lo, keys, l, power_iters, refine_rounds,
+                           terms, total):
+    """``_fused_capture`` vmapped over a (B, m, n) stack — ONE device
+    program for a whole bucket chunk. Inside vmap every op sees 2-D
+    abstract values, so the single-block code is reused verbatim."""
+    def one(h, lo_, k):
+        q, b = _fused_capture(DF(h, lo_), k, l=l, power_iters=power_iters,
+                              refine_rounds=refine_rounds, terms=terms,
+                              total=total)
+        return q.hi, q.lo, b.hi, b.lo
+
+    qh, ql, bh, bl = jax.vmap(one)(hi, lo, keys)
+    return DF(qh, ql), DF(bh, bl)
+
+
+def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
+                             tol: float | None = None, oversample: int = 10,
+                             power_iters: int = 2, refine_rounds: int = 1,
+                             terms: int = DEFAULT_TERMS_PRODUCT,
+                             round_rank: int | None = None
+                             ) -> list[RefinedSVD]:
+    """Fused tol-1e-8 pipeline over a same-shape block stack, vmapped.
+
+    The per-block fused route still costs 2 tunnel dispatches per
+    block; at north-star volume (10k blocks) that is ~8 min of pure
+    flush latency. This driver runs the whole (B, m, n) stack as ONE
+    capture program + ONE final-apply program (the host does a batched
+    f64 SVD of the (B, L, n) cores in between) — dispatch count is
+    O(1) per bucket chunk instead of O(B).
+
+    Same semantics as ``refined_rsvd_fused`` per block, including the
+    tolerance-unreachable error (raised if ANY block's spectrum never
+    crosses ``tol``). Real dtypes; complex or saturated-tall stacks
+    route per block through the host pipeline.
+    """
+    if rank is None and round_rank is None:
+        raise ValueError("need rank= or round_rank= (the per-round "
+                         "capture size cannot be derived from tol alone)")
+    blocks = np.asarray(blocks)
+    nb, m, n = blocks.shape
+    k = int(round_rank if round_rank is not None else rank)
+    l = min(k + int(oversample), m, n)
+    keys = jax.random.split(key, max(nb, 1))
+    iscx = np.iscomplexobj(blocks)
+    if iscx or (m > n and l * (1 + refine_rounds) >= n):
+        return [refined_rsvd(b, k_, rank=rank, tol=tol,
+                             oversample=oversample, power_iters=power_iters,
+                             refine_rounds=refine_rounds, terms=terms,
+                             round_rank=round_rank)
+                for b, k_ in zip(blocks, keys)]
+    total = min(l * (1 + refine_rounds), m, n)
+    a = df(blocks)
+    try:
+        q, b = _fused_capture_vmapped(a.hi, a.lo, keys, l=l,
+                                      power_iters=power_iters,
+                                      refine_rounds=refine_rounds,
+                                      terms=terms, total=total)
+        b64 = df_to_f64(b)  # materialize inside the guard (async errors)
+    except jax.errors.JaxRuntimeError as ex:
+        import warnings
+
+        warnings.warn(f"vmapped fused capture failed ({ex}); falling "
+                      "back to per-block pipelines", RuntimeWarning)
+        return [refined_rsvd(bl, k_, rank=rank, tol=tol,
+                             oversample=oversample, power_iters=power_iters,
+                             refine_rounds=refine_rounds, terms=terms,
+                             round_rank=round_rank)
+                for bl, k_ in zip(blocks, keys)]
+    uh, s, vt = np.linalg.svd(b64, full_matrices=False)  # batched f64
+    kfs = []
+    for i in range(nb):
+        kf = s.shape[1]
+        if tol is not None:
+            below = np.nonzero(s[i] / s[i, 0] < tol)[0]
+            if below.size == 0:
+                raise CompressionError(
+                    f"Could not compress block {i} to relative "
+                    f"tolerance {tol!r}")
+            kf = int(below[0])
+        if rank is not None:
+            kf = min(kf, int(rank))
+        kfs.append(kf)
+    # One vmapped apply at the padded max rank; per-block slice on host.
+    kmax = max(kfs) if kfs else 0
+    uh_pad = np.zeros((nb, uh.shape[1], kmax))
+    for i, kf in enumerate(kfs):
+        uh_pad[i, :, :kf] = uh[i][:, :kf]
+    u = jax.vmap(lambda qh, ql, w_hi, w_lo: _apply_right(
+        DF(qh, ql), DF(w_hi, w_lo), terms, DEFAULT_SLICES_DF))(
+            q.hi, q.lo, *df_from_f64(uh_pad))
+    return [RefinedSVD(DF(u.hi[i, :, :kf], u.lo[i, :, :kf]),
+                       s[i, :kf], vt[i, :kf, :], ())
+            for i, kf in enumerate(kfs)]
 
 
 def refined_rsvd_batch(blocks, key, **kwargs) -> list[RefinedSVD]:

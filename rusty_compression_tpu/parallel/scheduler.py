@@ -283,29 +283,34 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                                    rel_tol: float = 1e-8,
                                    round_rank: int = 128,
                                    bucket_floor: int = 128,
+                                   chunk_bytes: int = 256 << 20,
                                    **kwargs) -> list[BlockResult]:
     """Heterogeneous block stream at the north-star tolerance (<= 1e-8).
 
     The device-side adaptive path (``compress_heterogeneous(rel_tol=)``)
     is bounded by f32 accuracy (~1e-7); this driver routes every block
-    through the compensated-precision pipeline (``highacc.refined_rsvd``
-    — f32 HMT rounds + exact Ozaki residual refinement + DF merge),
-    reaching the reference's f64 accuracy class on bf16 hardware.
+    through the compensated-precision pipeline, reaching the
+    reference's f64 accuracy class on bf16 hardware.
 
-    Orchestration is host-side per block (the refined pipeline is staged
-    through the host by design), but blocks are padded to the bucket
-    grid first so every jitted stage is compiled once per bucket shape —
-    the ``refined_rsvd_batch`` amortization. Zero padding is exact: zero
-    rows/columns contribute zero singular weight at every stage.
+    Blocks are padded to the bucket grid and each bucket is stacked
+    into fixed-size chunks under ``chunk_bytes`` (compile reuse + host
+    memory bound, like ``compress_heterogeneous``); every chunk runs as
+    ONE vmapped fused capture + ONE final apply
+    (``highacc.refined_rsvd_fused_batch``) — dispatch count is O(1) per
+    chunk instead of O(blocks), which at north-star volume (10k blocks)
+    is the difference between seconds and ~8 minutes of tunnel flush
+    latency. Each block is verified on host in full f64; any block
+    missing the 5x gate re-runs through the host-orchestrated
+    ``refined_rsvd`` (exact-Gram independence handling). Zero padding
+    is exact (zero rows/columns carry zero singular weight); ragged
+    chunks are filled with rank-1 fillers so every chunk reuses one
+    compiled program.
 
-    Blocks should be f64 (or c128) host arrays; ``rel_residual`` is
-    verified on host in full f64. Returns ``BlockResult``s in
-    submission order; ``factors`` is a ``models.SVD`` whose fields are
-    host f64/c128 numpy arrays (io-serializable; reconstruct in numpy
-    to keep the f64 accuracy — device ``to_mat`` would downcast when
-    x64 is off).
+    Returns ``BlockResult``s in submission order; ``factors`` is a
+    ``models.SVD`` of host f64/c128 numpy arrays (io-serializable;
+    reconstruct in numpy to keep f64 accuracy).
     """
-    from ..highacc import refined_rsvd, refined_rsvd_fused
+    from ..highacc import refined_rsvd, refined_rsvd_fused_batch
     from ..models.svd import SVD
 
     shapes = [tuple(np.shape(b)) for b in blocks]
@@ -313,40 +318,49 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     results: list[BlockResult | None] = [None] * len(shapes)
     keys = jax.random.split(key, max(len(shapes), 1))
     t_start = time.perf_counter()
-    for (bm, bn), idxs in sorted(groups.items()):
-        for i in idxs:
-            m, n = shapes[i]
-            b = np.asarray(blocks[i])
-            padded = np.zeros((bm, bn), dtype=np.promote_types(b.dtype,
-                                                               np.float64))
-            padded[:m, :n] = b
+    for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
+        batch = _chunk_batch(len(idxs), 1, bm, bn, 8, chunk_bytes)
+        for c0 in range(0, len(idxs), batch):
+            chunk = idxs[c0:c0 + batch]
+            stack = np.zeros((batch, bm, bn), dtype=np.float64)
+            for s_, i in enumerate(chunk):
+                m, n = shapes[i]
+                stack[s_, :m, :n] = np.asarray(blocks[i])
+            # rank-1 fillers: spectrum [1, 0, ...] crosses any tol at
+            # rank 1, so padded slots can't raise CompressionError
+            for s_ in range(len(chunk), batch):
+                stack[s_, 0, 0] = 1.0
             t0 = time.perf_counter()
-            # Fused single-dispatch capture first (2 dispatches/block
-            # instead of ~30 through the tunnel); per-block f64
-            # verification below catches the fused path's narrower
-            # rank-deficiency handling, falling back to the
-            # host-orchestrated route (exact-Gram independence logic)
-            # for any block that misses the gate.
-            out = refined_rsvd_fused(padded, keys[i], round_rank=round_rank,
-                                     tol=rel_tol, **kwargs)
-            u64, s64, vt64 = out.to_f64()
-            wall = time.perf_counter() - t0
-            u64, vt64 = u64[:m, :], vt64[:, :n]
-            rec = u64 @ (s64[:, None] * vt64)
-            err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
-            if err > 5 * rel_tol:
-                t0 = time.perf_counter()
-                out = refined_rsvd(padded, keys[i], round_rank=round_rank,
-                                   tol=rel_tol, **kwargs)
+            outs = refined_rsvd_fused_batch(
+                stack, jax.random.fold_in(key, gi * 100003 + c0),
+                round_rank=round_rank, tol=rel_tol, **kwargs)
+            wall = (time.perf_counter() - t0) / max(len(chunk), 1)
+            for s_, i in enumerate(chunk):
+                m, n = shapes[i]
+                b = np.asarray(blocks[i])
+                out = outs[s_]
                 u64, s64, vt64 = out.to_f64()
-                wall += time.perf_counter() - t0
                 u64, vt64 = u64[:m, :], vt64[:, :n]
                 rec = u64 @ (s64[:, None] * vt64)
                 err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
-            results[i] = BlockResult(
-                index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
-                rel_residual=err, wall_time_s=wall,
-                factors=SVD(u64, s64, vt64), device_time_s=wall)
+                w = wall
+                if err > 5 * rel_tol:
+                    # Host-orchestrated fallback: exact-Gram
+                    # independence logic for rank-deficient content.
+                    t0 = time.perf_counter()
+                    out = refined_rsvd(stack[s_], keys[i],
+                                       round_rank=round_rank,
+                                       tol=rel_tol, **kwargs)
+                    u64, s64, vt64 = out.to_f64()
+                    w += time.perf_counter() - t0
+                    u64, vt64 = u64[:m, :], vt64[:, :n]
+                    rec = u64 @ (s64[:, None] * vt64)
+                    err = float(np.linalg.norm(rec - b)
+                                / np.linalg.norm(b))
+                results[i] = BlockResult(
+                    index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
+                    rel_residual=err, wall_time_s=w,
+                    factors=SVD(u64, s64, vt64), device_time_s=w)
     elapsed = time.perf_counter() - t_start
     if results and elapsed > 0:
         total_bytes = sum(np.asarray(b).nbytes for b in blocks)

@@ -356,3 +356,32 @@ def test_scheduler_refined_tol_1e8():
         assert r.factors.vt.shape == (r.rank, b.shape[1])
     # same bucket -> same compiled stages; distinct sketches per block
     assert not np.allclose(results[0].factors.u, results[2].factors.u)
+
+
+def test_refined_chunked_batches_with_fillers():
+    """The vmapped refined route chunks buckets under chunk_bytes and
+    pads ragged chunks with rank-1 fillers; results must match the
+    unchunked semantics (all blocks verified at the gate, submission
+    order kept)."""
+    rng = np.random.default_rng(7)
+
+    def decaying(m, n, decay_rank=30):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    blocks = [decaying(100, 90) for _ in range(5)]
+    # chunk budget of exactly two padded (128, 128) f64 blocks ->
+    # batches of 2, last chunk ragged (1 real + 1 filler)
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(9), rel_tol=1e-8, round_rank=36,
+        bucket_floor=64, chunk_bytes=2 * 128 * 128 * 8)
+    assert [r.index for r in results] == list(range(5))
+    for r, b in zip(results, blocks):
+        assert r.rel_residual < 5e-8, r.rel_residual
+        assert r.factors.u.shape == (100, r.rank)
+    # distinct sketches per block within a chunk
+    assert not np.allclose(results[0].factors.u, results[1].factors.u)
