@@ -256,6 +256,38 @@ def main():
                {"wall_s": wall6, "rel_residual": float(resid6),
                 "rank": out6.rank, "walls": walls})
 
+        # ---- config 7: tol-1e-8 block stream (vmapped fused batches) ----
+        # The volume x accuracy cross of BASELINE config 5: a stream of
+        # heterogeneous blocks at the north-star tolerance through the
+        # chunked scheduler (highacc.refined_rsvd_fused_batch — O(1)
+        # dispatches per bucket chunk). blocks/s including per-block
+        # f64 verification.
+        nb7, m7 = (6, 96) if SMALL else (32, 256)
+        rng7 = np.random.default_rng(7)
+        dk7 = 30 if SMALL else 48
+        blocks7 = []
+        for _ in range(nb7):
+            kk = dk7 + 16
+            s7 = np.maximum(10.0 ** (-10.0 * np.arange(kk) / (dk7 - 1)),
+                            1e-12)
+            u7, _ = np.linalg.qr(rng7.standard_normal((m7, kk)))
+            v7, _ = np.linalg.qr(rng7.standard_normal((m7 - 16, kk)))
+            blocks7.append((u7 * s7) @ v7.T)
+        par.compress_heterogeneous_refined(  # compile warmup
+            blocks7[:2], jax.random.key(11), rel_tol=1e-8,
+            round_rank=int(dk7 * 1.2), bucket_floor=64)
+        t0 = time.perf_counter()
+        res7 = par.compress_heterogeneous_refined(
+            blocks7, jax.random.key(12), rel_tol=1e-8,
+            round_rank=int(dk7 * 1.2), bucket_floor=64)
+        wall7 = time.perf_counter() - t0
+        err7 = max(r.rel_residual for r in res7)
+        record("7-refined-stream", "throughput", nb7 / wall7, "blocks/s",
+               "every block rel resid <= 5x1e-08", err7 <= 5e-8,
+               {"n_blocks": nb7, "block_dim": m7, "wall_s": wall7,
+                "max_rel_residual": float(err7),
+                "gbps": sum(b.nbytes for b in blocks7) / wall7 / 1e9})
+
     finally:
         with open("BENCH_SUITE.jsonl", "a") as f:
             stamp = {"ts": time.time(), "results": results}
