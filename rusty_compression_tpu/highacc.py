@@ -718,7 +718,8 @@ def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
                              tol: float | None = None, oversample: int = 10,
                              power_iters: int = 2, refine_rounds: int = 1,
                              terms: int = DEFAULT_TERMS_PRODUCT,
-                             round_rank: int | None = None
+                             round_rank: int | None = None,
+                             mesh=None, axis: str = "blocks"
                              ) -> list[RefinedSVD]:
     """Fused tol-1e-8 pipeline over a same-shape block stack, vmapped.
 
@@ -733,6 +734,14 @@ def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
     tolerance-unreachable error (raised if ANY block's spectrum never
     crosses ``tol``). Real dtypes; complex or saturated-tall stacks
     route per block through the host pipeline.
+
+    With ``mesh`` given, the stack and per-block keys are sharded over
+    ``axis`` and the single capture program runs SPMD across the
+    mesh's devices — data-parallel tol-1e-8 compression with zero
+    collectives (per-block work is independent; the SPMD partitioner
+    splits the batch dimension). The block count must be divisible by
+    the mesh axis (the scheduler pads chunks to a mesh-granule
+    multiple).
     """
     if rank is None and round_rank is None:
         raise ValueError("need rank= or round_rank= (the per-round "
@@ -751,8 +760,21 @@ def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
                 for b, k_ in zip(blocks, keys)]
     total = min(l * (1 + refine_rounds), m, n)
     a = df(blocks)
+    hi, lo = a.hi, a.lo
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_shards = mesh.shape[axis]
+        if nb % n_shards:
+            raise ValueError(
+                f"block count {nb} not divisible by mesh axis {axis!r} "
+                f"({n_shards}); pad the stack (see parallel.scheduler)")
+        shard = NamedSharding(mesh, PartitionSpec(axis))
+        hi = jax.device_put(hi, shard)
+        lo = jax.device_put(lo, shard)
+        keys = jax.device_put(keys, shard)
     try:
-        q, b = _fused_capture_vmapped(a.hi, a.lo, keys, l=l,
+        q, b = _fused_capture_vmapped(hi, lo, keys, l=l,
                                       power_iters=power_iters,
                                       refine_rounds=refine_rounds,
                                       terms=terms, total=total)
@@ -786,9 +808,13 @@ def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
     uh_pad = np.zeros((nb, uh.shape[1], kmax))
     for i, kf in enumerate(kfs):
         uh_pad[i, :, :kf] = uh[i][:, :kf]
+    w_df = df_from_f64(uh_pad)
+    if mesh is not None:
+        w_df = DF(jax.device_put(w_df.hi, shard),
+                  jax.device_put(w_df.lo, shard))
     u = jax.vmap(lambda qh, ql, w_hi, w_lo: _apply_right(
         DF(qh, ql), DF(w_hi, w_lo), terms, DEFAULT_SLICES_DF))(
-            q.hi, q.lo, *df_from_f64(uh_pad))
+            q.hi, q.lo, w_df.hi, w_df.lo)
     return [RefinedSVD(DF(u.hi[i, :, :kf], u.lo[i, :, :kf]),
                        s[i, :kf], vt[i, :kf, :], ())
             for i, kf in enumerate(kfs)]

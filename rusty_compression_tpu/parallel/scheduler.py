@@ -284,6 +284,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                                    round_rank: int = 128,
                                    bucket_floor: int = 128,
                                    chunk_bytes: int = 256 << 20,
+                                   mesh=None, axis: str = "blocks",
                                    **kwargs) -> list[BlockResult]:
     """Heterogeneous block stream at the north-star tolerance (<= 1e-8).
 
@@ -318,8 +319,9 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     results: list[BlockResult | None] = [None] * len(shapes)
     keys = jax.random.split(key, max(len(shapes), 1))
     t_start = time.perf_counter()
+    granule = 1 if mesh is None else int(mesh.shape[axis])
     for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
-        batch = _chunk_batch(len(idxs), 1, bm, bn, 8, chunk_bytes)
+        batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
         for c0 in range(0, len(idxs), batch):
             chunk = idxs[c0:c0 + batch]
             stack = np.zeros((batch, bm, bn), dtype=np.float64)
@@ -333,7 +335,8 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             t0 = time.perf_counter()
             outs = refined_rsvd_fused_batch(
                 stack, jax.random.fold_in(key, gi * 100003 + c0),
-                round_rank=round_rank, tol=rel_tol, **kwargs)
+                round_rank=round_rank, tol=rel_tol, mesh=mesh, axis=axis,
+                **kwargs)
             wall = (time.perf_counter() - t0) / max(len(chunk), 1)
             for s_, i in enumerate(chunk):
                 m, n = shapes[i]

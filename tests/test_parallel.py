@@ -385,3 +385,53 @@ def test_refined_chunked_batches_with_fillers():
         assert r.factors.u.shape == (100, r.rank)
     # distinct sketches per block within a chunk
     assert not np.allclose(results[0].factors.u, results[1].factors.u)
+
+
+def test_refined_stream_sharded_over_mesh():
+    """Data-parallel tol-1e-8: the vmapped fused capture sharded over a
+    device mesh must (a) hit the same accuracy gate as unsharded and
+    (b) compile with ZERO cross-device collectives (per-block work is
+    independent — the compile-time linear-scaling argument extended to
+    the north-star tolerance)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from rusty_compression_tpu import highacc as ha
+
+    rng = np.random.default_rng(11)
+
+    def decaying(m, n, decay_rank=30):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    blocks = [decaying(100, 90) for _ in range(8)]
+    mesh = par.make_mesh(8)
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(4), rel_tol=1e-8, round_rank=36,
+        bucket_floor=64, mesh=mesh)
+    assert [r.index for r in results] == list(range(8))
+    for r in results:
+        assert r.rel_residual < 5e-8, r.rel_residual
+
+    # HLO-level: the sharded capture program has no collectives
+    from rusty_compression_tpu.utils.doublefloat import df
+
+    stack = df(np.stack([np.pad(b, ((0, 28), (0, 38))) for b in blocks]))
+    keys = jax.random.split(jax.random.key(4), 8)
+    shard = NamedSharding(mesh, PartitionSpec("blocks"))
+    hi = jax.device_put(stack.hi, shard)
+    lo = jax.device_put(stack.lo, shard)
+    keys = jax.device_put(keys, shard)
+    lowered = ha._fused_capture_vmapped.lower(
+        hi, lo, keys, l=46, power_iters=2, refine_rounds=1, terms=7,
+        total=92)
+    hlo = lowered.compile().as_text()
+    collective = re.compile(
+        r"\b(all-reduce|all-gather|collective-permute|reduce-scatter"
+        r"|all-to-all)\w*")
+    assert not collective.findall(hlo)
