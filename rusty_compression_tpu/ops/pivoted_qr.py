@@ -171,8 +171,15 @@ def _qrcp_blocked(a, k: int, block: int, oversample: int, key,
     dt = a.dtype
     l = block + oversample
     if panel_method == "auto":
-        panel_method = ("scholqr3" if jax.default_backend() == "tpu"
-                        else "house")
+        # Round-2 min-statistic sweeps (BENCH_KERNELS.jsonl): Householder
+        # panels win at 4096^2 k=512 (2.4-4.9 ms vs scholqr3's 11-25 ms)
+        # with equal RRQR quality, but XLA's Householder expansion
+        # degrades badly for taller panels (47 ms at m=8192 vs scholqr3's
+        # 2 ms) — pick by panel height on TPU.
+        if jax.default_backend() == "tpu":
+            panel_method = "house" if m <= 4096 else "scholqr3"
+        else:
+            panel_method = "house"
 
     g = random_gaussian(key, (l, m), dtype=dt)
     sketch = g @ a  # (l, n), downdated as pivots are consumed
