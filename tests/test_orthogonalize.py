@@ -213,3 +213,37 @@ class TestPreciseCholesky:
                                    block=8))
         ref = np.linalg.cholesky(g)
         np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_power_iteration_over_wide_spectrum_f32():
+    """Regression (round 2, found on TPU): ortho='auto' must not route
+    power-iteration rSVD through a CholeskyQR-family kernel. Every
+    power/sample iterate carries the operator's full singular spread;
+    beyond cond ~ 1/u scholqr3 silently corrupts the basis (rel err
+    0.2-0.6 on a 7-decade f32 spectrum) while svqb degrades gracefully
+    to the Gram-method floor. The TPU auto default is now svqb."""
+    from rusty_compression_tpu.parallel.batch import rsvd_block
+    from rusty_compression_tpu.utils.random_matrix import random_gaussian
+
+    m, rank, p, q = 1024, 60, 8, 2
+    k1, k2 = jax.random.split(jax.random.key(0))
+    g1 = random_gaussian(k1, (m, 100), dtype=jnp.float32)
+    g2 = random_gaussian(k2, (100, m), dtype=jnp.float32)
+    sigma = jnp.concatenate([jnp.geomspace(1.0, 1e-7, 60, jnp.float32),
+                             jnp.full((40,), 1e-7, jnp.float32)])
+    a = (g1 * sigma[None, :]) @ g2
+
+    def err(ortho):
+        out = rsvd_block(a, jax.random.key(1), rank=rank, oversample=p,
+                         power_iters=q, ortho=ortho, small_svd="direct")
+        rec = out.u @ (out.s[:, None] * out.vt)
+        return float(jnp.linalg.norm(a - rec) / jnp.linalg.norm(a))
+
+    # x64-off: with x64 on, Python-float shift arithmetic quietly
+    # upcasts the CholeskyQR path to f64 and hides the breakdown (the
+    # TPU, where this bug bit, has no x64 at all).
+    with jax.enable_x64(False):
+        assert err("svqb") < 1e-4          # graceful on any backend
+        assert err("auto") < 1e-4          # the default must be safe
+        # the failure mode this guards against (why auto != scholqr3)
+        assert err("scholqr3") > 1e-2
