@@ -136,6 +136,89 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
             "slope_spread_ms": [round(s * 1e3, 1) for s in sorted(slopes)]}
 
 
+def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
+                           r_gen: int = 160, trials: int = 4):
+    """Stage ablation of the fused tol-1e-8 capture: cumulative device
+    time after each pipeline stage (scan-timed). Tells where the
+    capture's milliseconds go so optimization targets the right stage."""
+    import jax.numpy as jnp
+
+    from rusty_compression_tpu.highacc import (_f32_round, _project,
+                                               _residual,
+                                               _orthonormalize_f32,
+                                               _deflate_twice,
+                                               DEFAULT_SLICES_DF)
+    from rusty_compression_tpu.ops.ns_polar import df_orthonormalize_ns
+    from rusty_compression_tpu.ops.ozaki import ozaki_split
+    from rusty_compression_tpu.utils.doublefloat import DF, df_from_f64
+
+    rng = np.random.default_rng(6)
+    sig = 10.0 ** (-10.0 * np.arange(r_gen) / (rank_decay - 1))
+    u, _ = np.linalg.qr(rng.standard_normal((m, r_gen)))
+    v, _ = np.linalg.qr(rng.standard_normal((m, r_gen)))
+    a = df_from_f64((u * sig) @ v.T)
+    k = int(rank_decay * 1.1)
+    l = k + 10
+    key = jax.random.key(8)
+
+    def upto(stage):
+        def fn(hi):
+            aa = DF(hi, a.lo)
+            keys = jax.random.split(key, 2)
+            u1, w1 = _f32_round(aa.hi, keys[0], l, 2)
+            out = u1
+            if stage >= 1:
+                r = _residual(aa, u1, w1, terms=10)
+                out = r.hi
+            if stage >= 2:
+                u2, w2 = _f32_round(r.hi, keys[1], l, 2)
+                dq = _orthonormalize_f32(_deflate_twice(u1, u2))
+                basis = jnp.concatenate([u1, dq], axis=1)
+                out = basis
+            if stage >= 3:
+                q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)),
+                                         terms=7)
+                out = q.hi
+            if stage >= 4:
+                a_col = ozaki_split(aa, DEFAULT_SLICES_DF, contract_axis=0)
+                b = _project(q, a_col[0], a_col[1], 7)
+                out = b.hi
+            return out
+        return fn
+
+    names = ["f32-round1", "+residual", "+round2/merge", "+ns-ortho",
+             "+projection"]
+    cum = []
+    for stage in range(5):
+        fn = upto(stage)
+
+        def make(reps):
+            def body(c, _):
+                o = fn(c)
+                return c * (1.0 + 0.0 * o[0, 0]), o[0, 0]
+            return jax.jit(lambda hi: jax.lax.scan(body, hi, None,
+                                                   length=reps)[0])
+        fa, fb = make(1), make(7)
+        sync(fa(a.hi))
+        sync(fb(a.hi))
+        tas, tbs = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            sync(fa(a.hi))
+            tas.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync(fb(a.hi))
+            tbs.append(time.perf_counter() - t0)
+        cum.append((min(tbs) - min(tas)) / 6)
+    rows = []
+    prev = 0.0
+    for name, c in zip(names, cum):
+        rows.append({"stage": name, "cum_ms": round(c * 1e3, 2),
+                     "delta_ms": round((c - prev) * 1e3, 2)})
+        prev = c
+    return rows
+
+
 def main():
     t0 = time.perf_counter()
     x = jnp.ones((8, 8), jnp.float32)
@@ -202,6 +285,7 @@ def main():
     # records it. The finally block persists whatever completed.
     records = []
     fused = None
+    ablation = None
     try:
         fused = measure_fused_1e8(m=512 if SMALL else 4096,
                                   rank_decay=40 if SMALL else 120,
@@ -211,6 +295,13 @@ def main():
               f"{fused['capture_ms']:.1f} ms "
               f"= {fused['device_gbps_at_1e-8']:.2f} GB/s device-side "
               f"spread {fused['slope_spread_ms']}", flush=True)
+
+        if not SMALL:
+            ablation = measure_fused_ablation()
+            for row in ablation:
+                print(f"[fused-ablation] {row['stage']}: "
+                      f"cum {row['cum_ms']:.2f} ms "
+                      f"(+{row['delta_ms']:.2f})", flush=True)
 
         for (m, n, k), panel, block, pivot in sweep:
             r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot)
@@ -225,7 +316,8 @@ def main():
                "device": f"{dev.platform}:{dev.device_kind}",
                "pallas_available": bool(pallas_ok),
                "c64_packed_pallas": c64_status,
-               "rrqr": records, "fused_1e8": fused}
+               "rrqr": records, "fused_1e8": fused,
+               "fused_ablation": ablation}
         with open("BENCH_KERNELS.jsonl", "a") as f:
             f.write(json.dumps(out) + "\n")
         print(json.dumps(out), flush=True)
