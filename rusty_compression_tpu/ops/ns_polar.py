@@ -26,15 +26,16 @@ everything around it:
    arithmetic — each squares the error, landing at the ~2^-35 DF
    product floor.
 4. Three composed passes with decreasing shifts (1e-4, 1e-7, 0) mirror
-   shifted-CholeskyQR3: pass k's Gram is updated as ``Z^H G Z`` in
-   small DF GEMMs — the (m, L) basis is touched exactly twice (one
-   Gram, one final apply).
+   shifted-CholeskyQR3. The Gram is recomputed from the current Q at
+   every pass (one tall Gram + one tall apply per pass), so each pass
+   corrects the TRUE metric including the previous pass's apply
+   rounding — a chained-approximation update was measured 6e-9 off.
 
 Replaces LAPACK ``dpotrf``/``dtrtri`` + ``?orgqr`` for the
 high-accuracy merge (reference: rusty-compression src/pivoted_qr.rs:
 104-114 materializes Q via ``?orgqr``; src/qr.rs:408-416 instantiates
-the f64 path). Real (f32-pair) DF only — the complex merge keeps the
-host route (highacc.cdf_cholesky_qr2).
+the f64 path). Complex DF pairs run the same passes through planar
+4x-real products (``ozaki_matmul_complex``) and complex f32 seeds.
 """
 
 from __future__ import annotations
