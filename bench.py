@@ -199,6 +199,23 @@ def main():
     log(f"nystrom single-pass: {t_ny*1e3:.1f} ms, "
         f"{bytes_in/t_ny/1e9:.1f} GB/s, rel err {ny_err:.3e}")
 
+    # extra: bf16 sketching (opt-in knob) — HMT sampling products at
+    # 1-pass bf16, final projection at policy precision. Valid here
+    # because the target is tail-dominated (sigma_{k+1}/sigma_1 ~ 3e-2
+    # >> bf16 sketch noise); the printed rel error is the proof.
+    run_bf = jax.jit(lambda a, k: rsvd_block(a, k, rank=RANK,
+                                             oversample=OVERSAMPLE,
+                                             power_iters=POWER_ITERS,
+                                             small_svd="gram",
+                                             sketch_precision="default"))
+    t_bf = timeit_slope(run_bf, a, jax.random.key(1), n1=5, n2=45,
+                        trials=max(REPS, 5))
+    out_bf = run_bf(a, jax.random.key(1))
+    bf_err = float(jnp.linalg.norm(
+        a - out_bf.u @ (out_bf.s[:, None] * out_bf.vt)) / jnp.linalg.norm(a))
+    log(f"bf16-sketch rSVD: {t_bf*1e3:.1f} ms, {bytes_in/t_bf/1e9:.1f} GB/s, "
+        f"rel err {bf_err:.3e}")
+
     # extra: device-side GB/s at the north-star tolerance (tol 1e-8) —
     # the fused compensated-precision capture, scan-iterated inside one
     # program so tunnel flush/transfer costs cancel (bench_kernels.py
@@ -243,6 +260,8 @@ def main():
             "rel_error": recon_err,
             "nystrom_gbps": round(bytes_in / t_ny / 1e9, 3),
             "nystrom_rel_error": ny_err,
+            "bf16_sketch_gbps": round(bytes_in / t_bf / 1e9, 3),
+            "bf16_sketch_rel_error": bf_err,
             "refined_1e8_gbps_device": refined_gbps,
             "device": f"{dev.platform}:{dev.device_kind}",
         },

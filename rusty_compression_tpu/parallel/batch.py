@@ -55,7 +55,8 @@ __all__ = [
 @with_precision
 def rsvd_block(a, key, rank: int, oversample: int = 5,
                power_iters: int = 0, ortho: str = "auto",
-               small_svd: str = "direct") -> SVD:
+               small_svd: str = "direct",
+               sketch_precision: str | None = None) -> SVD:
     """Fixed-rank randomized SVD of one dense block.
 
     Sketch-then-factorize (random_sampling.rs:58-126 feeding
@@ -64,9 +65,14 @@ def rsvd_block(a, key, rank: int, oversample: int = 5,
     pivoting anywhere), the dense SVD runs only on the small
     ``(k+p, n)`` projection, and truncation to ``rank`` happens on the
     singular values. Jit/vmap-traceable; all shapes static.
+
+    ``sketch_precision`` (opt-in) lowers only the sampling GEMMs — see
+    ``sampling.range_finder``; valid when the target residual sits
+    above the sketch noise (tail-dominated spectra).
     """
     op = as_linear_operator(a)
-    q = range_finder(op, key, rank + oversample, power_iters, ortho)
+    q = range_finder(op, key, rank + oversample, power_iters, ortho,
+                     sketch_precision=sketch_precision)
     svd = SVD.compute_from_range_estimate(q, op, method=small_svd)
     return svd.compress_svd_rank(rank)
 

@@ -99,7 +99,7 @@ def sample_range_power_iteration(op, key, k: int, p: int = 5,
 
 @with_precision
 def range_finder(op, key, size: int, power_iters: int = 0,
-                 ortho: str = "auto"):
+                 ortho: str = "auto", sketch_precision: str | None = None):
     """HMT range finder: the full ``size``-column orthonormal sketch basis.
 
     The production fast path for randomized factorizations: one Gaussian
@@ -109,14 +109,38 @@ def range_finder(op, key, size: int, power_iters: int = 0,
     random_sampling.rs:103-119) it keeps all ``size = k + p`` columns;
     downstream truncation (``SVD.compress_svd_rank``) then benefits from
     the oversampled basis (standard HMT; tighter than trimming Q first).
+
+    ``sketch_precision`` overrides the matmul precision of the
+    *operator applications only* (orthonormalization and everything
+    downstream keep the session policy). HMT theory lets the sketch run
+    at low precision — the sampling products only steer the subspace;
+    the residual is set by the final projection — so on TPU
+    ``"default"`` (1-pass bf16) runs the 2q+1 big GEMMs at ~6x the
+    f32-highest rate. Use ONLY when the target residual is above the
+    sketch noise (~eps_bf16 ~ 1e-2 relative for "default", ~1e-4 for
+    "high"): for sharply decaying spectra the basis steering error
+    floors the capture there. Measured: identical error (tail-
+    dominated, sigma_{k+1}/sigma_1 = 3e-2) at 8192^2 k=100 q=2 across
+    "default"/"high"/"highest".
     """
     op = as_linear_operator(op)
     omega = random_gaussian(key, (op.ncols, size), dtype=op.dtype)
-    y = op.matmat(omega)
+
+    import contextlib
+
+    def sketch_ctx():  # fresh instance per use (jax ctx managers are one-shot)
+        return (jax.default_matmul_precision(sketch_precision)
+                if sketch_precision else contextlib.nullcontext())
+
+    with sketch_ctx():
+        y = op.matmat(omega)
     for _ in range(power_iters):
         q = orthonormalize(y, ortho)
-        w = orthonormalize(op.conj_matmat(q), ortho)
-        y = op.matmat(w)
+        with sketch_ctx():
+            w_raw = op.conj_matmat(q)
+        w = orthonormalize(w_raw, ortho)
+        with sketch_ctx():
+            y = op.matmat(w)
     return orthonormalize(y, ortho)
 
 

@@ -312,3 +312,25 @@ def test_north_star_tolerance_1e8(key):
     assert err < 5e-8
     # the residual history crossed the tolerance
     assert hist[-1][1] < 1e-8
+
+
+def test_sketch_precision_knob():
+    """Opt-in low-precision sketching: same API, sampling products run
+    under the given matmul precision, projection stays at policy. On a
+    tail-dominated spectrum the result must match full precision to
+    the tail (HMT: the sketch only steers the subspace)."""
+    from rusty_compression_tpu.parallel.batch import rsvd_block
+
+    key = jax.random.key(0)
+    a = rc.random_approximate_low_rank_matrix(key, (256, 192), 1.0, 1e-3)
+    outs = {}
+    for sp in (None, "highest"):
+        out = rsvd_block(a, jax.random.key(1), rank=40, oversample=8,
+                         power_iters=2, sketch_precision=sp)
+        rec = out.u @ (out.s[:, None].astype(out.vt.dtype) * out.vt)
+        outs[sp] = float(jnp.linalg.norm(a - rec) / jnp.linalg.norm(a))
+    # identical route on CPU (precision context is a TPU lever); both
+    # must sit at the spectrum position for rank 40
+    expected = 10 ** (-3 * 40 / 191)
+    for sp, err in outs.items():
+        assert err < 5 * expected, (sp, err, expected)
