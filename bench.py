@@ -226,7 +226,8 @@ def main():
             import bench_kernels as bk
 
             f6 = bk.measure_fused_1e8(m=4096, trials=4)
-            refined_gbps = round(f6["device_gbps_at_1e-8"], 3)
+            g6 = f6["device_gbps_at_1e-8"]
+            refined_gbps = round(g6, 3) if np.isfinite(g6) else None
             log(f"fused tol-1e-8 capture (device-side): "
                 f"{f6['capture_ms']:.1f} ms = {refined_gbps} GB/s")
         except Exception as ex:  # keep the headline robust

@@ -68,6 +68,10 @@ def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 6,
         tbs.append(time.perf_counter() - t0)
         slopes.append((tbs[-1] - tas[-1]) / (rb - ra))
     per = (min(tbs) - min(tas)) / (rb - ra)
+    if per <= 0:
+        # drifting latency floor — see measure_fused_1e8
+        pos = [s for s in slopes if s > 0]
+        per = float(np.median(pos)) if pos else float("nan")
     # f64 correctness alongside the timing (the accuracy the judge
     # checks; computed on host so the measurement is policy-independent)
     q, r, ind = jax.jit(
@@ -79,7 +83,8 @@ def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 6,
         "shape": [m, n], "k": k, "panel": panel, "block": block,
         "pivot": pivot,
         "ms": per * 1e3,
-        "tflops_equiv": 2 * m * n * k / max(per, 1e-12) / 1e12,
+        "tflops_equiv": (2 * m * n * k / per / 1e12 if per > 0
+                         else float("nan")),
         "ortho": ortho,
         "slope_spread_ms": [round(s * 1e3, 2) for s in sorted(slopes)],
     }
@@ -130,8 +135,15 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
         tbs.append(time.perf_counter() - t0)
         slopes.append((tbs[-1] - tas[-1]) / 4)
     per = (min(tbs) - min(tas)) / 4  # min-statistics (see measure_rrqr)
+    if per <= 0:
+        # Latency floor drifted downward across trials (degraded
+        # window): fall back to the median of positive slopes; if none,
+        # the window is unusable — report NaN rather than garbage.
+        pos = [s for s in slopes if s > 0]
+        per = float(np.median(pos)) if pos else float("nan")
+    gbps = m * m * 8 / per / 1e9 if per > 0 else float("nan")
     return {"m": m, "rank": k, "capture_ms": per * 1e3,
-            "device_gbps_at_1e-8": m * m * 8 / max(per, 1e-12) / 1e9,
+            "device_gbps_at_1e-8": gbps,
             "note": "capture only; host (L,n) f64 SVD tail excluded",
             "slope_spread_ms": [round(s * 1e3, 1) for s in sorted(slopes)]}
 

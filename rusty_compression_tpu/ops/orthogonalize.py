@@ -155,7 +155,7 @@ def svqb(y, passes: int = 3):
 
 
 @with_precision
-def orthonormalize(y, method: str = "auto"):
+def orthonormalize(y, method: str = "auto", passes: int | None = None):
     """Orthonormal basis of the columns of tall-skinny ``y``.
 
     Returns ``q`` only (the common need in the sampling pipelines).
@@ -174,6 +174,11 @@ def orthonormalize(y, method: str = "auto"):
     the sqrt(eps) floor belong on the compensated-precision pipeline
     (highacc), which uses svqb internally for exactly this reason.
     Off-TPU, Householder QR is exact to working precision and fast.
+
+    ``passes`` (svqb only): mid-power-iteration re-orthonormalizations
+    only need *stabilization* (bounding the iterate's condition so no
+    direction underflows) — a single svqb pass does that at a third of
+    the eigh cost; the final basis keeps the full 3-pass polish.
     """
     if method == "auto":
         method = "svqb" if jax.default_backend() == "tpu" else "qr"
@@ -185,5 +190,5 @@ def orthonormalize(y, method: str = "auto"):
     if method == "scholqr3":
         return shifted_cholesky_qr3(y)[0]
     if method == "svqb":
-        return svqb(y)
+        return svqb(y) if passes is None else svqb(y, passes=passes)
     raise ValueError(f"unknown orthonormalization method {method!r}")

@@ -135,10 +135,14 @@ def range_finder(op, key, size: int, power_iters: int = 0,
     with sketch_ctx():
         y = op.matmat(omega)
     for _ in range(power_iters):
-        q = orthonormalize(y, ortho)
+        # Mid-iteration re-orths only stabilize the iterate; a single
+        # svqb pass suffices (see ops.orthogonalize) and saves 2 of the
+        # 3 small eighs per stage — the serial cost that dominates the
+        # TPU rSVD wall once GEMMs run at MXU rate.
+        q = orthonormalize(y, ortho, passes=1)
         with sketch_ctx():
             w_raw = op.conj_matmat(q)
-        w = orthonormalize(w_raw, ortho)
+        w = orthonormalize(w_raw, ortho, passes=1)
         with sketch_ctx():
             y = op.matmat(w)
     return orthonormalize(y, ortho)
