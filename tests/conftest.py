@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.key(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles thousands of XLA:CPU programs in one
+    process; with everything cached, the CPU backend segfaulted inside
+    LLVM compilation around the ~360th test (deterministically, twice —
+    the same modules pass in isolation). Dropping the executable caches
+    per module keeps per-process JIT state bounded at a small
+    recompilation cost for cross-module shared fixtures.
+    """
+    yield
+    jax.clear_caches()
