@@ -122,7 +122,8 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
         return jax.jit(lambda hi: jax.lax.scan(body, hi, None,
                                                length=reps)[0])
 
-    fa, fb = make(1), make(5)
+    ra, rb = 2, 26
+    fa, fb = make(ra), make(rb)
     sync(fa(a.hi))
     sync(fb(a.hi))
     tas, tbs, slopes = [], [], []
@@ -133,8 +134,8 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
         t0 = time.perf_counter()
         sync(fb(a.hi))
         tbs.append(time.perf_counter() - t0)
-        slopes.append((tbs[-1] - tas[-1]) / 4)
-    per = (min(tbs) - min(tas)) / 4  # min-statistics (see measure_rrqr)
+        slopes.append((tbs[-1] - tas[-1]) / (rb - ra))
+    per = (min(tbs) - min(tas)) / (rb - ra)  # min-statistics
     if per <= 0:
         # Latency floor drifted downward across trials (degraded
         # window): fall back to the median of positive slopes; if none,
@@ -210,7 +211,7 @@ def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
                 return c * (1.0 + 0.0 * o[0, 0]), o[0, 0]
             return jax.jit(lambda hi: jax.lax.scan(body, hi, None,
                                                    length=reps)[0])
-        fa, fb = make(1), make(7)
+        fa, fb = make(2), make(26)
         sync(fa(a.hi))
         sync(fb(a.hi))
         tas, tbs = [], []
@@ -221,7 +222,7 @@ def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
             t0 = time.perf_counter()
             sync(fb(a.hi))
             tbs.append(time.perf_counter() - t0)
-        cum.append((min(tbs) - min(tas)) / 6)
+        cum.append((min(tbs) - min(tas)) / 24)
     rows = []
     prev = 0.0
     for name, c in zip(names, cum):
