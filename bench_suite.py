@@ -190,6 +190,37 @@ def main():
                flops=nb * (4 * mb * mb * rank4 + 4 * mb * rank4 ** 2
                            + rank4 ** 2 * mb), seconds=dt4)
 
+        # ---- config 4b: the literal BASELINE.json dims (16384^2) --------
+        # 64 simultaneous f32 blocks would need 64 GB HBM; the metric is
+        # blocks/s, so blocks stream one at a time through a single
+        # compiled program (the deployment pattern for blocks this
+        # size). TPU only — a 16384^2 kernel block is impractical on
+        # the CPU CI hosts.
+        if on_tpu and not SMALL:
+            mb_b = 16384
+            rank_b = 16
+            kxb, kyb = jax.random.split(jax.random.key(40))
+            xb = random_cloud(kxb, mb_b, (0.0, 0.0, 0.0))
+            yb = random_cloud(kyb, mb_b, (3.0, 0.0, 0.0))
+            blk_b = laplace_kernel_block(xb, yb, dtype=dt)
+            sync(blk_b)
+            run4b = jax.jit(
+                lambda b, key: batched_two_sided_id(b[None], key,
+                                                    rank=rank_b))
+            dt4b = timeit_slope(run4b, blk_b, jax.random.key(41), n1=1,
+                                n2=4, trials=3)
+            tsid_b = run4b(blk_b, jax.random.key(41))
+            err4b = float(np.asarray(
+                batched_rel_diff_fro(tsid_b, blk_b[None])).max())
+            record("4b-two-sided-id-16k", "throughput", 1.0 / dt4b,
+                   "blocks/s", "rel err <= 0.005 (admissible blocks)",
+                   err4b <= 5e-3,
+                   {"gbps": blk_b.size * blk_b.dtype.itemsize / dt4b / 1e9,
+                    "block_dim": mb_b, "rank": rank_b,
+                    "max_rel_err": err4b, "wall_s": dt4b},
+                   flops=(4 * mb_b * mb_b * rank_b + 4 * mb_b * rank_b ** 2
+                          + rank_b ** 2 * mb_b), seconds=dt4b)
+
         # ---- config 5: data-parallel scaling over the device mesh ----------
         ndev = jax.local_device_count()
         if ndev > 1:
