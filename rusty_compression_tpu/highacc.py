@@ -622,7 +622,10 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         room = total - basis.shape[1]
         if room <= 0:
             break
-        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=10)
+        # terms=8: exact residual to the ~2^-40 floor (_residual doc);
+        # the host route's terms=10 buys nothing here and the 55-vs-36
+        # slice-pair count made this the capture's costliest stage.
+        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=8)
         u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
         # The new block overlaps span(basis) (see refined_rsvd); after
         # the double deflation + svqb the merged basis's Gram condition
@@ -632,7 +635,14 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         # rank-deficient streams should use refined_rsvd directly.)
         dq = _orthonormalize_f32(_deflate_twice(basis, u_i))[:, :room]
         basis = jnp.concatenate([basis, dq], axis=1)
-    q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms)
+    # mode="fast": the merged basis comes out of svqb-deflated f32
+    # rounds with Gram cond <= ~1e2 — one unshifted NS pass + metric
+    # corrections reach the DF floor; the robust 3-pass chain's extra
+    # small-op latency (~40% of the capture) buys nothing here. The
+    # scheduler's per-block f64 verification + host-route fallback
+    # covers any pathological merge this misjudges.
+    q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms,
+                             mode="fast")
     if iscx:
         b = _cproject(q, _csplit(a, DEFAULT_SLICES_DF, 0), terms)
     else:

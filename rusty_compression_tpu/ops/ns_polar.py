@@ -58,6 +58,14 @@ __all__ = ["df_orthonormalize_ns"]
 #: floor. Iteration counts cover kappa = 1/shift plus quadratic
 #: convergence margin (eigenvalue product grows ~2.25x/iter).
 _PASSES = ((1e-4, 26), (1e-7, 28), (0.0, 16))
+#: Fast mode: two unshifted passes. Valid when the input is already
+#: well-conditioned at f32 level (Gram cond <= ~1e4 — e.g. the fused
+#: pipeline's svqb-deflated merges): the f32 NS seeds converge without
+#: a shift and the second fresh-Gram pass absorbs the first pass's
+#: apply rounding (a single pass floored the fused residual at ~1e-8;
+#: two restore the robust chain's ~2e-9 class at ~60% of its small-op
+#: latency). Callers with unbounded inputs must use mode="robust".
+_PASSES_FAST = ((0.0, 20), (0.0, 8))
 
 
 def _gemm_f32(a, b):
@@ -169,8 +177,9 @@ def _inv_sqrt_pass(g: DF, shift: float, iters: int, terms: int,
     return df_scale_pow2(z, jnp.ldexp(jnp.float32(1.0), -(e >> 1)))
 
 
-@functools.partial(jax.jit, static_argnames=("terms", "corrections"))
-def df_orthonormalize_ns(y: DF, terms: int = 7, corrections: int = 2):
+@functools.partial(jax.jit, static_argnames=("terms", "corrections", "mode"))
+def df_orthonormalize_ns(y: DF, terms: int = 7, corrections: int = 2,
+                         mode: str = "robust"):
     """Orthonormalize the columns of a tall DF matrix to ~1e-10, in one
     XLA program (no host round-trips, all GEMMs).
 
@@ -191,7 +200,7 @@ def df_orthonormalize_ns(y: DF, terms: int = 7, corrections: int = 2):
     z-kernel path (rusty-compression src/qr.rs:408-416).
     """
     q = y
-    for shift, iters in _PASSES:
+    for shift, iters in (_PASSES if mode == "robust" else _PASSES_FAST):
         g = _df_gram(q, terms)
         z = _inv_sqrt_pass(g, shift, iters, terms, corrections)
         q = _df_apply(q, z, terms)
