@@ -144,12 +144,26 @@ def _panel_qr(panel, method: str):
     stays on the MXU instead of the slow TPU Householder expansion. Both
     produce triangular R, which the output contract requires (the final
     ``triu`` would silently drop mass under a non-triangular basis).
+
+    scholqr3 silently corrupts the basis beyond cond ~ 1/u — Gaussian
+    panels never get there, but smooth-kernel panels do (a 16384^2
+    Laplace block's 16-pivot panel produced ortho error 1.0 and a
+    0.26 reconstruction error). A tiny (b, b) self-check gates a
+    ``lax.cond`` Householder redo: scholqr3 speed on healthy panels,
+    Householder correctness on ill-conditioned ones (the slow branch
+    only *runs* when needed).
     """
     if method == "house":
         return jnp.linalg.qr(panel, mode="reduced")
     from .orthogonalize import shifted_cholesky_qr3
 
-    return shifted_cholesky_qr3(panel)
+    q, r = shifted_cholesky_qr3(panel)
+    eye = jnp.eye(q.shape[-1], dtype=q.dtype)
+    err = jnp.max(jnp.abs(herm(q) @ q - eye))
+    return jax.lax.cond(err < 1e-3,
+                        lambda p: (q, r),
+                        lambda p: tuple(jnp.linalg.qr(p, mode="reduced")),
+                        panel)
 
 
 def _qrcp_blocked(a, k: int, block: int, oversample: int, key,
@@ -296,16 +310,24 @@ def _resolve_mode(mode: str, m: int, n: int, k: int, dtype) -> str:
     if mode != "auto":
         return mode
     if k <= 64 or n <= 128:
-        # Small problem: sequential pivot rule; fused Pallas kernel on
-        # TPU when supported and the working set fits VMEM, XLA loop
-        # otherwise. The complex64 planar kernel exists (mode="pallas"
-        # explicitly) but is NOT auto-selected: some TPU backends reject
-        # it (UNIMPLEMENTED) and the availability probe only covers the
-        # f32 kernel.
+        # Small rank/width: exact sequential pivot rule when it's cheap
+        # — fused Pallas kernel on TPU when supported and the working
+        # set fits VMEM, XLA loop for small matrices. The complex64
+        # planar kernel exists (mode="pallas" explicitly) but is NOT
+        # auto-selected: some TPU backends reject it (UNIMPLEMENTED)
+        # and the availability probe only covers the f32 kernel.
         if (dtype == jnp.float32 and _pallas_fits(m, n, k)
                 and pallas_available()):
             return "pallas"
-        return "gs"
+        if n <= 512:
+            return "gs"
+        # Large matrix, small k, no VMEM-resident kernel: the gs loop
+        # makes k full-width HBM round trips (rank-1 updates of the
+        # (m, n) residual) — the blocked randomized-pivot route does
+        # the same work as ~2 GEMMs with the pivot loop confined to a
+        # small (k+p, n) sketch. Quality equivalent on admissible-block
+        # fixtures (same err class, skeleton exactness preserved).
+        return "blocked"
     return "blocked"
 
 

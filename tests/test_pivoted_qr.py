@@ -304,3 +304,31 @@ def test_pallas_qrcp_complex_packed_matches_planar(key):
 
     with _pytest.raises(ValueError):
         qrcp_panel_complex(a[:63], 16, interpret=True, packed=True)
+
+
+def test_blocked_small_k_wide_matrix_quality():
+    """Regression (round 2, found via bench config 4b): the blocked
+    small-k route on a smooth-kernel matrix. scholqr3 panels silently
+    corrupted the basis (ortho error 1.0, reconstruction error 0.26 at
+    16384^2 on TPU) because kernel-matrix pivot panels are
+    ill-conditioned; _panel_qr now self-checks and redoes the panel
+    with Householder under lax.cond. CPU checks the same contract at a
+    CI-sized shape."""
+    import jax
+
+    from rusty_compression_tpu.utils.kernel_matrices import (
+        laplace_kernel_block, random_cloud)
+
+    n = 768
+    kx, ky = jax.random.split(jax.random.key(40))
+    x = random_cloud(kx, n, (0.0, 0.0, 0.0))
+    y = random_cloud(ky, n, (3.0, 0.0, 0.0))
+    a = laplace_kernel_block(x, y, dtype=jnp.float32)
+    q, r, ind = rc.pivoted_qr(a, 16, mode="blocked", block_size=16,
+                           panel_qr="scholqr3")
+    q64 = np.asarray(q, np.float64)
+    assert np.abs(q64.T @ q64 - np.eye(16)).max() < 1e-4
+    rec = q64 @ np.asarray(r, np.float64)
+    an = np.asarray(a, np.float64)
+    err = np.linalg.norm(rec - an[:, np.asarray(ind)]) / np.linalg.norm(an)
+    assert err < 1e-4, err
