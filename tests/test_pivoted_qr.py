@@ -151,6 +151,68 @@ class TestPivotedQRBlocked:
         assert rel < 20 * np.sqrt(np.sum(s[25:] ** 2)) / np.linalg.norm(a_np)
 
 
+class TestTournamentPivoting:
+    """The candidate-shortlist pivot rule (pivot_candidates, the round-2
+    default) must preserve RRQR quality vs the full-width rule."""
+
+    def test_matches_full_width_quality(self, key):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (256, 192), 1.0, 1e-5, dtype=jnp.float32)
+        k = 48
+        kk = __import__("jax").random.key(7)
+        q2, r2, i2 = rc.pivoted_qr(a, max_rank=k, mode="blocked",
+                                   block_size=16, pivot_candidates=2, key=kk)
+        q0, r0, i0 = rc.pivoted_qr(a, max_rank=k, mode="blocked",
+                                   block_size=16, pivot_candidates=0, key=kk)
+        a_np = np.asarray(a, np.float64)
+
+        def rel_err(q, r, ind):
+            approx = np.asarray(q, np.float64) @ np.asarray(r, np.float64)
+            inv = np.argsort(np.asarray(ind))
+            return (np.linalg.norm(approx[:, inv] - a_np)
+                    / np.linalg.norm(a_np))
+
+        e2, e0 = rel_err(q2, r2, i2), rel_err(q0, r0, i0)
+        s = np.linalg.svd(a_np, compute_uv=False)
+        opt = np.sqrt(np.sum(s[k:] ** 2)) / np.linalg.norm(a_np)
+        # both within the RRQR class of optimal, shortlist no worse
+        # than a small factor over full-width
+        assert e0 < 10 * opt + 1e-12, (e0, opt)
+        assert e2 < 10 * opt + 1e-12, (e2, opt)
+        assert e2 < 4 * max(e0, opt), (e2, e0, opt)
+
+    def test_stair_step_spectrum(self, key):
+        """Stair-step spectra maximize near-ties; the shortlist must not
+        truncate a step early (quality within the usual factor)."""
+        import jax
+
+        m, n, k = 200, 160, 40
+        ku, kv = jax.random.split(key)
+        u = rc.random_orthogonal_matrix(ku, (m, n), dtype=jnp.float32)
+        v = rc.random_orthogonal_matrix(kv, (n, n), dtype=jnp.float32)
+        s = np.repeat(10.0 ** -np.arange(8), 20)[:n].astype(np.float32)
+        a = u @ (s[:, None] * v)
+        q, r, ind = rc.pivoted_qr(a, max_rank=k, mode="blocked",
+                                  block_size=16)
+        a_np = np.asarray(a, np.float64)
+        approx = np.asarray(q, np.float64) @ np.asarray(r, np.float64)
+        inv = np.argsort(np.asarray(ind))
+        err = np.linalg.norm(approx[:, inv] - a_np) / np.linalg.norm(a_np)
+        opt = np.sqrt(np.sum((s[k:] ** 2).astype(np.float64)))
+        opt /= np.linalg.norm(a_np)
+        assert err < 10 * opt, (err, opt)
+
+    def test_unused_exhaustion_full_factorization(self, key):
+        """Full blocked factorization (k == n): the final panels run out
+        of unchosen columns, so the shortlist necessarily includes used
+        ones — the mask must keep the permutation valid."""
+        a = rc.random_gaussian(key, (96, 64), dtype=jnp.float32)
+        q, r, ind = rc.pivoted_qr(a, mode="blocked", block_size=16,
+                                  pivot_candidates=2)
+        assert sorted(np.asarray(ind).tolist()) == list(range(64))
+        check_invariants(a, q, r, ind, 2e-4)
+
+
 class TestEdgeCases:
     def test_rank_deficient(self, key):
         """Exactly rank-deficient input: zero residual columns yield zero
