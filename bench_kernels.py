@@ -33,10 +33,12 @@ from rusty_compression_tpu.utils.profiling import sync
 SMALL = bool(os.environ.get("BENCH_SMALL"))
 
 
-def _scan_bench(k: int, panel: str, reps: int, block: int, pivot: str):
+def _scan_bench(k: int, panel: str, reps: int, block: int, pivot: str,
+                cand: int):
     def body(c, _):
         q, r, ind = pivoted_qr(c, k, mode="blocked", panel_qr=panel,
-                               block_size=block, pivot_kernel=pivot)
+                               block_size=block, pivot_kernel=pivot,
+                               pivot_candidates=cand)
         # Serialize iterations with a near-free data dependency; scan
         # executes the body every iteration, so no cross-iteration CSE.
         return c * (1.0 + 0.0 * q[0, 0]), ind[0]
@@ -45,12 +47,12 @@ def _scan_bench(k: int, panel: str, reps: int, block: int, pivot: str):
 
 
 def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 6,
-                 block: int = 128, pivot: str = "auto"):
+                 block: int = 128, pivot: str = "auto", cand: int = 2):
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
     ra, rb = 2, 66
-    fa = _scan_bench(k, panel, ra, block, pivot)
-    fb = _scan_bench(k, panel, rb, block, pivot)
+    fa = _scan_bench(k, panel, ra, block, pivot, cand)
+    fb = _scan_bench(k, panel, rb, block, pivot, cand)
     sync(fa(a))
     sync(fb(a))
     # Min-statistics slope: tunnel flush latency jitters by up to
@@ -76,12 +78,13 @@ def measure_rrqr(m: int, n: int, k: int, panel: str, trials: int = 6,
     # checks; computed on host so the measurement is policy-independent)
     q, r, ind = jax.jit(
         lambda x: pivoted_qr(x, k, mode="blocked", panel_qr=panel,
-                             block_size=block, pivot_kernel=pivot))(a)
+                             block_size=block, pivot_kernel=pivot,
+                             pivot_candidates=cand))(a)
     q64 = np.asarray(jax.device_get(q), np.float64)
     ortho = float(np.abs(q64.T @ q64 - np.eye(k)).max())
     return {
         "shape": [m, n], "k": k, "panel": panel, "block": block,
-        "pivot": pivot,
+        "pivot": pivot, "cand": cand,
         "ms": per * 1e3,
         "tflops_equiv": (2 * m * n * k / per / 1e12 if per > 0
                          else float("nan")),
@@ -285,14 +288,20 @@ def main():
     # grid minus the round-1-rejected corners; 8192x2048 gets the two
     # candidate bests.
     if SMALL:
-        sweep = [((1024, 1024, 256), "scholqr3", 128, "auto")]
+        sweep = [((1024, 1024, 256), "scholqr3", 128, "auto", 2)]
     else:
         pivots = ("pallas", "xla") if pallas_ok else ("xla",)
-        sweep = [((4096, 4096, 512), panel, block, pivot)
-                 for panel in ("scholqr3", "house")
+        # Round-2 focus: Householder panels won at 4096^2; sweep the
+        # tournament shortlist (cand=2, new default) against the
+        # full-width rule (cand=0) in the same window, keep one scholqr3
+        # reference row per shape.
+        sweep = [((4096, 4096, 512), "house", block, pivot, cand)
                  for block in (128, 256)
-                 for pivot in pivots]
-        sweep += [((8192, 2048, 512), "scholqr3", 256, p) for p in pivots]
+                 for pivot in pivots
+                 for cand in (2, 0)]
+        sweep += [((4096, 4096, 512), "scholqr3", 128, pivots[0], 2)]
+        sweep += [((8192, 2048, 512), "scholqr3", 256, p, 2) for p in pivots]
+        sweep += [((8192, 2048, 512), "house", 256, pivots[0], 2)]
     # The fused-capture number is the headline; measure it FIRST so a
     # window that degrades (or a harness timeout) mid-sweep still
     # records it. The finally block persists whatever completed.
@@ -316,11 +325,12 @@ def main():
                       f"cum {row['cum_ms']:.2f} ms "
                       f"(+{row['delta_ms']:.2f})", flush=True)
 
-        for (m, n, k), panel, block, pivot in sweep:
-            r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot)
+        for (m, n, k), panel, block, pivot, cand in sweep:
+            r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot,
+                             cand=cand)
             records.append(r)
             print(f"[rrqr {m}x{n} k={k} panel={panel} b={block} "
-                  f"piv={pivot}] {r['ms']:.2f} ms "
+                  f"piv={pivot} cand={cand}] {r['ms']:.2f} ms "
                   f"({r['tflops_equiv']:.2f} TFLOP/s-eq, ortho "
                   f"{r['ortho']:.1e}) spread {r['slope_spread_ms']}",
                   flush=True)
