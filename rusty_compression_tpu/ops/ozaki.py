@@ -100,24 +100,55 @@ def _dot_f32(a_bf16, b_bf16):
 
 
 def ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
-                       *, terms: int = DEFAULT_TERMS) -> DF:
+                       *, terms: int = DEFAULT_TERMS,
+                       w: int = DEFAULT_W) -> DF:
     """High-precision GEMM from pre-split operands (see ``ozaki_split``).
 
-    Keeps slice pairs with ``p + q < terms``. Every slice-pair GEMM output
-    is *exact* in f32; each one is folded into the double-float accumulator
-    individually (summing even two of them in plain f32 first would round
-    at 2^-24 relative to their diagonal's magnitude — a ~2^-29 global
-    error that defeats the scheme; caught by TestOzakiGemm).
+    Keeps slice pairs with ``p + q < terms``, batching pairs on the same
+    anti-diagonal into ONE ``dot_general`` (contracting over both the
+    pair index and k). Exactness is preserved: every product on diagonal
+    ``d`` is an integer multiple of the same unit ``2^-(d+2)w`` bounded
+    by ``2^-dw``, so a fused sum of ``c`` pair-GEMMs stays error-free in
+    the f32 accumulator iff ``c * k * 2^(2w) <= 2^24`` — the group size
+    below. (Products from *different* diagonals must NOT share an f32
+    accumulator: their units differ by 2^w, so the sum rounds at 2^-24
+    relative to the larger diagonal — a ~2^-29 global error that defeats
+    the scheme; caught by TestOzakiGemm.)
+
+    Why batch: the DF fold after each dot is an elementwise pass over
+    the full (m, n) output — for large outputs the folds, not the MXU
+    dots, dominate HBM traffic. Diagonal batching cuts the fold count
+    from ``terms*(terms+1)/2`` to ~``terms`` and makes each dot larger
+    (better MXU utilization), with zero accuracy change.
     """
     sa = int(a_slices.shape[0])
     sb = int(b_slices.shape[0])
+    k = int(a_slices.shape[-1])
+    group = max(1, (1 << (24 - 2 * w)) // max(k, 1))
+    a_small = a_slices.shape[-2] * k <= k * b_slices.shape[-1]
     acc = None  # DF accumulator, built from largest diagonal down
     for d in range(terms):
-        for p in range(min(d + 1, sa)):
-            q = d - p
-            if q >= sb:
-                continue
-            g = _dot_f32(a_slices[p], b_slices[q])
+        p_lo = max(0, d - (sb - 1))
+        p_hi = min(d, sa - 1)
+        if p_lo > p_hi:
+            continue
+        for g0 in range(p_lo, p_hi + 1, group):
+            g1 = min(g0 + group - 1, p_hi)
+            if g1 == g0:
+                g = _dot_f32(a_slices[g0], b_slices[d - g0])
+            else:
+                # Pair p ascending with q = d - p descending: reverse
+                # the smaller operand's selected slices.
+                a_sel = jax.lax.slice_in_dim(a_slices, g0, g1 + 1, axis=0)
+                b_sel = jax.lax.slice_in_dim(b_slices, d - g1, d - g0 + 1,
+                                             axis=0)
+                if a_small:
+                    a_sel = jnp.flip(a_sel, axis=0)
+                else:
+                    b_sel = jnp.flip(b_sel, axis=0)
+                g = jax.lax.dot_general(
+                    a_sel, b_sel, (((0, 2), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32)
             acc = DF(g, jnp.zeros_like(g)) if acc is None else \
                 _df_add_f32_exactish(acc, g)
     out_scale = a_scale * b_scale  # powers of two; exact multiply below
