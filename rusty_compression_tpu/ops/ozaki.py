@@ -121,11 +121,14 @@ def ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
     from ``terms*(terms+1)/2`` to ~``terms`` and makes each dot larger
     (better MXU utilization), with zero accuracy change.
     """
+    if w < 1 or 2 * w >= 24:
+        raise ValueError(f"ozaki w={w} outside the error-free window "
+                         "(need 1 <= w <= 11 so 2w < 24)")
     sa = int(a_slices.shape[0])
     sb = int(b_slices.shape[0])
     k = int(a_slices.shape[-1])
     group = max(1, (1 << (24 - 2 * w)) // max(k, 1))
-    a_small = a_slices.shape[-2] * k <= k * b_slices.shape[-1]
+    a_small = a_slices.shape[-2] <= b_slices.shape[-1]
     acc = None  # DF accumulator, built from largest diagonal down
     for d in range(terms):
         p_lo = max(0, d - (sb - 1))
@@ -176,7 +179,7 @@ def ozaki_matmul(a, b, *, terms: int = DEFAULT_TERMS, w: int = DEFAULT_W,
     a_slices, a_scale = ozaki_split(a, sa, w=w, contract_axis=1)
     b_slices, b_scale = ozaki_split(b, sb, w=w, contract_axis=0)
     return ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
-                              terms=terms)
+                              terms=terms, w=w)
 
 
 def ozaki_matmul_complex(a: DF, b: DF, *, terms: int = DEFAULT_TERMS,
