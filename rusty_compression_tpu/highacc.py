@@ -63,14 +63,15 @@ from .models.svd import SVD
 from .ops.ozaki import ozaki_matmul_split, ozaki_split
 from .sampling import range_finder
 from .utils.doublefloat import (DF, df, df_add, df_complex, df_from_f64,
-                                df_imag, df_real, df_sub, df_to_f64)
+                                df_imag, df_norm_fro, df_real, df_sub,
+                                df_to_f64)
 from .utils.dtypes import herm
 from .utils.errors import CompressionError
 from .utils.precision import with_precision
 
 __all__ = [
     "RefinedSVD", "refined_rsvd", "refined_rsvd_fused",
-    "refined_rsvd_fused_batch", "refined_rsvd_batch",
+    "refined_rsvd_fused_batch", "refined_rsvd_batch", "refined_capture",
     "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
@@ -434,6 +435,256 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     return svd.u, w
 
 
+def _merge_block(basis, u_i, iscx: bool, room: int):
+    """Merge a new round's f32 block into the basis.
+
+    The new block overlaps span(basis) (the residual carries the
+    previous round's *in-span* factor error too), so the raw
+    concatenation is near rank-deficient. Deflate in f32 (twice is
+    enough), svqb the remainder, then append only the directions
+    an *exact* (host f64) Gram certifies as independent: a padded
+    or small block's content subspace can be narrower than the
+    ambient min(m, n), and columns beyond its dimension are
+    structurally impossible to orthonormalize — they turned the
+    DF-merge Gram exactly singular and cost ~sqrt(shift) of span
+    accuracy. Structural fillers show exact-Gram eigenvalues at
+    the f64 rounding floor (~1e-16); genuinely-but-barely tilted
+    directions (lam 1e-10..1e-4, i.e. sin(angle) 1e-5..1e-2) are
+    KEPT — the DF CholeskyQR2 merge handles cond up to ~1e13, and
+    dropping them costs sin(angle)*||r|| of capture. An f32 probe
+    cannot draw this line; its noise floor sits inside the
+    genuine range.
+
+    Returns the (possibly unchanged) basis; a return with the same
+    column count signals that nothing independent was left to add.
+    """
+    d = u_i - basis @ (herm(basis) @ u_i)
+    d = d - basis @ (herm(basis) @ d)
+    dq = _orthonormalize_f32(d)[:, :room]
+    cand = jnp.concatenate([basis, dq], axis=1)
+    # Fast path: an on-device f32 Gram certifies independence when
+    # its min eigenvalue clears the f32 noise floor (~l*eps) — the
+    # typical big-block case; no host round trip.
+    lam32 = np.asarray(_gram_eigvals(cand))
+    if lam32[0] > 1e-3 * lam32[-1]:
+        return cand
+    cand = np.asarray(cand)
+    c64 = cand.astype(np.complex128 if iscx else np.float64)
+    lam = np.linalg.eigvalsh(c64.conj().T @ c64)
+    keep = int(np.sum(lam > 1e-12 * lam[-1])) - basis.shape[1]
+    if keep <= 0:
+        return basis
+    return jnp.asarray(cand[:, :basis.shape[1] + keep])
+
+
+def _capture_basis_host(a: DF, key, l: int, power_iters: int,
+                        refine_rounds: int, terms: int):
+    """Host-orchestrated fixed-round basis capture (see ``refined_rsvd``).
+
+    Returns ``(q, history)`` — ``q`` the DF-orthonormal merged basis,
+    ``history`` the f32-norm residual estimate after each round — or
+    ``(None, ...)`` never: the saturated-tall guard is the caller's.
+    """
+    iscx = jnp.iscomplexobj(a.hi)
+    m, n = a.shape
+    keys = jax.random.split(key, 1 + refine_rounds)
+    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
+    basis = u1
+    history = []
+    r = a
+    u_i, w_i = u1, w1
+    residual_fn = _cresidual if iscx else _residual
+    for i in range(refine_rounds):
+        r = residual_fn(r, u_i, w_i, terms=10)
+        history.append(float(jnp.linalg.norm(r.hi)))
+        room = min(m, n) - basis.shape[1]
+        if room <= 0:
+            break
+        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
+        new_basis = _merge_block(basis, u_i, iscx, room)
+        if new_basis.shape[1] == basis.shape[1]:
+            break
+        basis = new_basis
+
+    # Polish the merged basis to ~2^-35 orthogonality (span-preserving).
+    # The shifted first pass is required: deflated near-noise columns
+    # can come out of the f32 orthonormalization with substantial
+    # overlap onto the existing basis, so the merge is not guaranteed
+    # well-conditioned.
+    y = DF(basis, jnp.zeros_like(basis))
+    qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
+    q, _ = qr2(y, terms, shifted=refine_rounds > 0)
+    return q, tuple(history)
+
+
+def _capture_basis_growth(a: DF, key, tol: float, oversample: int,
+                          power_iters: int, terms: int,
+                          block: int | None = None,
+                          max_rank: int | None = None):
+    """Adaptive basis capture: grow until the DF residual crosses ``tol``.
+
+    The rank-discovery loop at the north-star tolerance — reference
+    semantics of ``sample_range_adaptive`` (rusty-compression
+    src/random_sampling.rs:202-282: keep drawing blocks while the
+    residual estimate sits above tol, return the residual history) but
+    with the residual tracked EXACTLY in double-float via the Ozaki
+    residual recurrence ``R_{i+1} = R_i - U_i W_i`` (each round's f32
+    approximation subtracted error-free), so the loop can stop at
+    tolerances far below the f32 floor that bounds the device-side
+    adaptive sampler.
+
+    Returns ``(q, history, captured)``; ``captured`` is True when the
+    loop stopped because the residual crossed ``tol`` (so a spectrum
+    that never dips below tol in the projected core still counts as
+    compressed at the full capture rank), False when the basis
+    exhausted the search space first (the caller decides whether
+    that is a ``CompressionError``).
+    """
+    iscx = jnp.iscomplexobj(a.hi)
+    m, n = a.shape
+    cap = min(m, n) if max_rank is None else min(max_rank, m, n)
+    norm_a = float(df_norm_fro(a))
+    if norm_a == 0.0:
+        z = jnp.zeros((m, 1), dtype=a.hi.dtype)
+        return DF(z, jnp.zeros_like(z)), (0.0,), True
+    l = min(int(block) if block else max(16, int(oversample) + 22), cap)
+    residual_fn = _cresidual if iscx else _residual
+    qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
+
+    key, k0 = jax.random.split(key)
+    u_i, w_i = _f32_round(a.hi, k0, l, power_iters)
+    basis = u_i
+    r = a
+    history = []
+    captured = False
+    # Stop margin: the final residual is the projection error onto the
+    # merged basis, bounded by the tracked recurrence residual (the
+    # projection is optimal over a span containing every round's
+    # columns, minus merge-dropped near-dependent directions whose
+    # contribution already lies in the span). 0.5x covers the
+    # difference plus the f32 norm estimate's noise.
+    while True:
+        r = residual_fn(r, u_i, w_i, terms=8)
+        res = float(df_norm_fro(r)) / norm_a
+        history.append(res)
+        if res <= 0.5 * tol:
+            captured = True
+            break
+        room = cap - basis.shape[1]
+        if room <= 0:
+            break
+        # Saturated tall guard (see refined_rsvd): f32 round columns
+        # tilt ~1e-7 out of span(A); once the basis approaches the
+        # small dimension of a TALL matrix those tilts floor the
+        # capture. Switch to the direct DF factorization of A itself —
+        # every column is an A-combination, in span by construction.
+        l_next = min(l, room)
+        if m > n and basis.shape[1] + l_next >= n:
+            q, _ = qr2(a, terms, shifted=True)
+            return q, tuple(history), True
+        key, ki = jax.random.split(key)
+        u_i, w_i = _f32_round(r.hi, ki, l_next, power_iters)
+        new_basis = _merge_block(basis, u_i, iscx, room)
+        if new_basis.shape[1] == basis.shape[1]:
+            break  # nothing independent left: span is exhausted
+        basis = new_basis
+        # Geometric block growth caps the round count (and the set of
+        # compiled shapes) for deep spectra.
+        l = min(2 * l, 256)
+
+    y = DF(basis, jnp.zeros_like(basis))
+    q, _ = qr2(y, terms, shifted=True)
+    return q, tuple(history), captured
+
+
+def _project_b64(a: DF, q: DF, iscx: bool, terms: int) -> np.ndarray:
+    """Host f64/c128 core ``B = Q^H A`` via the Ozaki projection."""
+    if iscx:
+        return df_to_f64(_cproject(q, _csplit_jit(a, DEFAULT_SLICES_DF, 0),
+                                   terms))
+    a_col = _split(a, DEFAULT_SLICES_DF, 0)
+    return df_to_f64(df_project(q, a_col, terms))
+
+
+def refined_capture(a, key, rank: int | None = None,
+                    tol: float | None = None, oversample: int = 10,
+                    power_iters: int = 2, refine_rounds: int = 1,
+                    terms: int = DEFAULT_TERMS_PRODUCT,
+                    round_rank: int | None = None,
+                    fused: bool = True):
+    """DF-orthonormal range basis + f64 core of ``a`` (the capture).
+
+    The shared front half of every high-accuracy factorization: the
+    refined rSVD truncates the core's SVD (``refined_rsvd``); the
+    interpolative decompositions pivot the core's QR (``highacc_id``).
+
+    With ``round_rank`` (or ``rank``) given, runs the fixed-round
+    pipeline (fused single-program capture when ``fused`` and the shape
+    allows). With only ``tol``, runs the adaptive growth loop
+    (``_capture_basis_growth``) — rank discovery at the north-star
+    tolerance, reference semantics of random_sampling.rs:202-282.
+
+    Returns ``(q, b64, history, captured)``: ``q`` the (m, L) DF basis,
+    ``b64`` the host f64/c128 ``Q^H A`` core, ``history`` the per-round
+    relative-residual estimates, and ``captured`` True when the capture
+    residual provably crossed ``tol`` (always True in fixed-round mode —
+    the caller's tolerance truncation re-checks against the spectrum).
+    """
+    a = df(a) if not isinstance(a, DF) else a
+    iscx = jnp.iscomplexobj(a.hi)
+    m, n = a.shape
+
+    if rank is None and round_rank is None:
+        if tol is None:
+            raise ValueError("need rank=, round_rank=, or tol=")
+        q, history, captured = _capture_basis_growth(
+            a, key, tol, oversample, power_iters, terms)
+        return q, _project_b64(a, q, iscx, terms), history, captured
+
+    k = int(round_rank if round_rank is not None else rank)
+    l = min(k + int(oversample), m, n)
+    if m > n and l * (1 + refine_rounds) >= n:
+        # Saturated tall case: when the randomized capacity would fill
+        # the small dimension (l per round x rounds >= n < m), the
+        # sketched basis needs ~n in-span directions but every
+        # f32-computed column tilts ~1e-7 out of span(A); the tilts
+        # keep the merged Gram well-conditioned while hiding in-span
+        # rank deficiency, flooring the capture near 1e-7 (observed on
+        # direct 120x90 streams). Instead orthonormalize A's own
+        # columns in DF: every vector is an A-combination — in span(A)
+        # by construction, capture exact to the Ozaki product accuracy.
+        # (m <= n saturation is benign: the basis fills the whole
+        # ambient space, where no tilt exists.)
+        qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
+        q, _ = qr2(a, terms, shifted=True)
+        return q, _project_b64(a, q, iscx, terms), (), True
+
+    if fused:
+        total = min(l * (1 + refine_rounds), m, n)
+        try:
+            q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
+                                  refine_rounds=refine_rounds, terms=terms,
+                                  total=total)
+            # Materialize inside the guard: dispatch is async, so
+            # backend rejections surface at the first fetch.
+            return q, df_to_f64(b), (), True
+        except jax.errors.JaxRuntimeError as ex:
+            # Environmental: the tunneled AOT compile helper
+            # intermittently drops large programs ("response body
+            # closed", HTTP 500), and some TPU backends reject pieces
+            # of the fused complex program (UNIMPLEMENTED). The
+            # host-orchestrated route compiles ~30 small programs
+            # instead of one big one and gets through.
+            import warnings
+
+            warnings.warn(f"fused capture failed ({ex}); falling back "
+                          "to the host-orchestrated route", RuntimeWarning)
+
+    q, history = _capture_basis_host(a, key, l, power_iters,
+                                     refine_rounds, terms)
+    return q, _project_b64(a, q, iscx, terms), history, True
+
+
 def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
                  oversample: int = 10, power_iters: int = 2,
                  refine_rounds: int = 1,
@@ -445,107 +696,50 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
       a: (m, n) matrix — host f64/c128 array or device ``DF`` (complex
         pairs run through the planar 4x-real-product stages).
       key: PRNG key for the sketches.
-      rank: target rank of each f32 round (default: ``round_rank`` or
-        derived from tol search space); the final factorization is
-        truncated to ``rank`` (if given) after the merge.
+      rank: target rank of each f32 round (default: ``round_rank``);
+        the final factorization is truncated to ``rank`` (if given)
+        after the merge.
       tol: relative tolerance for the final truncation (reference
         ``compress`` semantics, svd.rs:87-101: truncate before the first
         ``s_i/s_0 < tol``; raises ``CompressionError`` if the spectrum
-        never drops below tol).
+        never drops below tol). When NEITHER ``rank`` nor ``round_rank``
+        is given, ``tol`` alone drives the adaptive growth capture —
+        rank discovery at the target tolerance (the reference's
+        adaptive-sampling semantics, random_sampling.rs:202-282, at the
+        f64 accuracy class).
       oversample: extra sketch columns per round (HMT p).
       power_iters: subspace iterations per f32 round (HMT q).
-      refine_rounds: residual-compression rounds after round 1. One
-        round reaches ~1e-13 + spectral-tail; two are available for
-        pathological spectra.
+      refine_rounds: residual-compression rounds after round 1 in
+        fixed-round mode. One round reaches ~1e-13 + spectral-tail; two
+        are available for pathological spectra.
       terms: Ozaki slice-pair budget for the merge-stage products.
-      round_rank: per-round capture rank (defaults to ``rank``; must be
-        given when only ``tol`` is supplied).
+      round_rank: per-round capture rank (defaults to ``rank``).
 
     Returns a ``RefinedSVD``; ``history`` holds the estimated residual
     after each round (f32-norm estimates, diagnostic only).
     """
-    if rank is None and round_rank is None:
-        raise ValueError("need rank= or round_rank= (the per-round "
-                         "capture size cannot be derived from tol alone)")
-    k = int(round_rank if round_rank is not None else rank)
     a = df(a) if not isinstance(a, DF) else a
     iscx = jnp.iscomplexobj(a.hi)
+    if rank is None and round_rank is None:
+        if tol is None:
+            raise ValueError("need rank=, round_rank=, or tol= (tol alone "
+                             "runs the adaptive growth capture)")
+        q, history, captured = _capture_basis_growth(
+            a, key, tol, oversample, power_iters, terms)
+        b = _project_b64(a, q, iscx, terms)
+        return _finish_core(q, b, iscx, terms, tol, rank, history,
+                            captured=captured)
+
+    k = int(round_rank if round_rank is not None else rank)
     m, n = a.shape
     l = min(k + int(oversample), m, n)
-
-    # Saturated tall case: when the randomized capacity would fill the
-    # small dimension (l per round x rounds >= n < m), the sketched
-    # basis needs ~n in-span directions but every f32-computed column
-    # tilts ~1e-7 out of span(A); the tilts keep the merged Gram
-    # well-conditioned while hiding in-span rank deficiency, flooring
-    # the capture near 1e-7 (observed on direct 120x90 streams).
-    # Instead orthonormalize A's own columns in DF: every vector is an
-    # A-combination — in span(A) by construction, capture exact to the
-    # Ozaki product accuracy. (m <= n saturation is benign: the basis
-    # fills the whole ambient space, where no tilt exists.)
     if m > n and l * (1 + refine_rounds) >= n:
         qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
         q, _ = qr2(a, terms, shifted=True)
         return _finish_refined(a, q, iscx, terms, tol, rank, history=())
-
-    keys = jax.random.split(key, 1 + refine_rounds)
-    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
-    basis = u1
-    history = []
-    r = a
-    u_i, w_i = u1, w1
-    residual_fn = _cresidual if iscx else _residual
-    for i in range(refine_rounds):
-        r = residual_fn(r, u_i, w_i, terms=10)
-        history.append(float(jnp.linalg.norm(r.hi)))
-        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
-        # The new block overlaps span(basis) (the residual carries the
-        # previous round's *in-span* factor error too), so the raw
-        # concatenation is near rank-deficient. Deflate in f32 (twice is
-        # enough), svqb the remainder, then append only the directions
-        # an *exact* (host f64) Gram certifies as independent: a padded
-        # or small block's content subspace can be narrower than the
-        # ambient min(m, n), and columns beyond its dimension are
-        # structurally impossible to orthonormalize — they turned the
-        # DF-merge Gram exactly singular and cost ~sqrt(shift) of span
-        # accuracy. Structural fillers show exact-Gram eigenvalues at
-        # the f64 rounding floor (~1e-16); genuinely-but-barely tilted
-        # directions (lam 1e-10..1e-4, i.e. sin(angle) 1e-5..1e-2) are
-        # KEPT — the DF CholeskyQR2 merge handles cond up to ~1e13, and
-        # dropping them costs sin(angle)*||r|| of capture. An f32 probe
-        # cannot draw this line; its noise floor sits inside the
-        # genuine range.
-        room = min(m, n) - basis.shape[1]
-        if room <= 0:
-            break
-        d = u_i - basis @ (herm(basis) @ u_i)
-        d = d - basis @ (herm(basis) @ d)
-        dq = _orthonormalize_f32(d)[:, :room]
-        cand = jnp.concatenate([basis, dq], axis=1)
-        # Fast path: an on-device f32 Gram certifies independence when
-        # its min eigenvalue clears the f32 noise floor (~l*eps) — the
-        # typical big-block case; no host round trip.
-        lam32 = np.asarray(_gram_eigvals(cand))
-        if lam32[0] > 1e-3 * lam32[-1]:
-            basis = cand
-            continue
-        cand = np.asarray(cand)
-        c64 = cand.astype(np.complex128 if iscx else np.float64)
-        lam = np.linalg.eigvalsh(c64.conj().T @ c64)
-        keep = int(np.sum(lam > 1e-12 * lam[-1])) - basis.shape[1]
-        if keep <= 0:
-            break
-        basis = jnp.asarray(cand[:, :basis.shape[1] + keep])
-
-    # Polish the merged basis to ~2^-35 orthogonality (span-preserving).
-    # The shifted first pass is required: deflated near-noise columns
-    # can come out of the f32 orthonormalization with substantial
-    # overlap onto the existing basis, so the merge is not guaranteed
-    # well-conditioned.
-    y = DF(basis, jnp.zeros_like(basis))
-    qr2 = cdf_cholesky_qr2 if iscx else df_cholesky_qr2
-    q, _ = qr2(y, terms, shifted=refine_rounds > 0)
-    return _finish_refined(a, q, iscx, terms, tol, rank, tuple(history))
+    q, history = _capture_basis_host(a, key, l, power_iters,
+                                     refine_rounds, terms)
+    return _finish_refined(a, q, iscx, terms, tol, rank, history)
 
 
 def _finish_refined(a: DF, q: DF, iscx: bool, terms: int,
@@ -554,21 +748,28 @@ def _finish_refined(a: DF, q: DF, iscx: bool, terms: int,
     """Project, small-SVD, and truncate: the common tail of
     ``refined_rsvd`` (svd.rs:171-183 sketch-then-factorize pattern at
     DF accuracy; tolerance semantics of svd.rs:87-101)."""
-    if iscx:
-        b = df_to_f64(_cproject(q, _csplit_jit(a, DEFAULT_SLICES_DF, 0),
-                                terms))
-    else:
-        a_col = _split(a, DEFAULT_SLICES_DF, 0)
-        b = df_to_f64(df_project(q, a_col, terms))
+    b = _project_b64(a, q, iscx, terms)
+    return _finish_core(q, b, iscx, terms, tol, rank, history)
+
+
+def _finish_core(q: DF, b: np.ndarray, iscx: bool, terms: int,
+                 tol: float | None, rank: int | None,
+                 history: tuple, captured: bool = False) -> RefinedSVD:
+    """SVD of the host core + truncation + final DF apply."""
     uh, s, vt = np.linalg.svd(b, full_matrices=False)
 
     kf = s.shape[0]
     if tol is not None:
         below = np.nonzero(s / s[0] < tol)[0]
         if below.size == 0:
-            raise CompressionError(
-                f"Could not compress to relative tolerance {tol!r}")
-        kf = int(below[0])
+            if not captured:
+                raise CompressionError(
+                    f"Could not compress to relative tolerance {tol!r}")
+            # The growth capture measured the residual at <= tol even
+            # though no projected singular value dips below it: the
+            # crossing sits exactly at the capture rank. Keep all of it.
+        else:
+            kf = int(below[0])
     if rank is not None:
         kf = min(kf, int(rank))
     uh = uh[:, :kf]
@@ -663,58 +864,19 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
     (capture; final ``U = Q Uhat``) instead of ~30 plus host LAPACK
     round-trips — the difference between tunnel-latency-bound and
     compute-bound. Complex inputs run fused planar stages. Falls back
-    to ``refined_rsvd`` for the saturated-tall direct route (needs
-    data-dependent host logic) and on tunneled-compile failures.
+    to ``refined_rsvd`` for the saturated-tall direct route and the
+    tol-only growth capture (both need data-dependent host logic) and
+    on tunneled-compile failures.
     """
-    if rank is None and round_rank is None:
-        raise ValueError("need rank= or round_rank= (the per-round "
-                         "capture size cannot be derived from tol alone)")
-    k = int(round_rank if round_rank is not None else rank)
     a = df(a) if not isinstance(a, DF) else a
     iscx = jnp.iscomplexobj(a.hi)
-    m, n = a.shape
-    l = min(k + int(oversample), m, n)
-    if m > n and l * (1 + refine_rounds) >= n:
-        return refined_rsvd(a, key, rank=rank, tol=tol, oversample=oversample,
-                            power_iters=power_iters,
-                            refine_rounds=refine_rounds, terms=terms,
-                            round_rank=round_rank)
-    total = min(l * (1 + refine_rounds), m, n)
-    try:
-        q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
-                              refine_rounds=refine_rounds, terms=terms,
-                              total=total)
-        # Materialize inside the guard: dispatch is async, so backend
-        # rejections surface at the first fetch, not at the call.
-        b64 = df_to_f64(b)
-    except jax.errors.JaxRuntimeError as ex:
-        # Environmental: the tunneled AOT compile helper intermittently
-        # drops large programs ("response body closed", HTTP 500 — the
-        # flakiness ops.pivoted_qr.pallas_available documents), and
-        # some TPU backends reject pieces of the fused complex program
-        # (UNIMPLEMENTED). The host-orchestrated route compiles ~30
-        # small programs instead of one big one and gets through.
-        import warnings
-
-        warnings.warn(f"fused capture failed ({ex}); falling back to "
-                      "the host-orchestrated route", RuntimeWarning)
-        return refined_rsvd(a, key, rank=rank, tol=tol,
-                            oversample=oversample, power_iters=power_iters,
-                            refine_rounds=refine_rounds, terms=terms,
-                            round_rank=round_rank)
-    uh, s, vt = np.linalg.svd(b64, full_matrices=False)
-    kf = s.shape[0]
-    if tol is not None:
-        below = np.nonzero(s / s[0] < tol)[0]
-        if below.size == 0:
-            raise CompressionError(
-                f"Could not compress to relative tolerance {tol!r}")
-        kf = int(below[0])
-    if rank is not None:
-        kf = min(kf, int(rank))
-    apply_fn = _capply_right if iscx else _apply_right
-    u = apply_fn(q, df_from_f64(uh[:, :kf]), terms, DEFAULT_SLICES_DF)
-    return RefinedSVD(u, s[:kf], vt[:kf, :], ())
+    q, b64, history, captured = refined_capture(
+        a, key, rank=rank, tol=tol, oversample=oversample,
+        power_iters=power_iters, refine_rounds=refine_rounds, terms=terms,
+        round_rank=round_rank, fused=True)
+    return _finish_core(q, b64, iscx, terms, tol, rank, history,
+                        captured=captured and round_rank is None
+                        and rank is None)
 
 
 @functools.partial(jax.jit, static_argnames=("l", "power_iters",

@@ -77,10 +77,69 @@ class TestRefinedRSVD:
             refined_rsvd(a, jax.random.PRNGKey(4), round_rank=60,
                          tol=1e-30)
 
-    def test_requires_rank_or_round_rank(self):
+    def test_requires_rank_round_rank_or_tol(self):
         a = decaying_matrix(5, 128, 128)
         with pytest.raises(ValueError):
-            refined_rsvd(a, jax.random.PRNGKey(5), tol=1e-8)
+            refined_rsvd(a, jax.random.PRNGKey(5))
+
+
+class TestGrowthCapture:
+    """tol-only adaptive rank discovery at the north-star tolerance
+    (reference semantics: random_sampling.rs:202-282 keeps drawing
+    blocks until the residual estimate crosses tol; here the residual
+    is tracked exactly in DF, so tol <= 1e-8 works)."""
+
+    def test_discovers_rank_at_1e8(self):
+        # sigma_i = 10^(-10 i/99) crosses 1e-8 at i = 80; no rank hint.
+        a = decaying_matrix(10, 512, 512)
+        out = refined_rsvd(a, jax.random.PRNGKey(10), tol=1e-8)
+        assert 78 <= out.rank <= 82
+        assert out.residual_fro(a) < 5e-8
+        # residual history is reported (reference contract:
+        # random_sampling.rs:209-217) and decreasing
+        assert len(out.history) >= 2
+        assert out.history[-1] < out.history[0]
+
+    def test_discovers_deep_rank(self):
+        # crossing at i = 160 exercises the geometric block growth
+        a = decaying_matrix(11, 600, 500, decay_rank=200)
+        out = refined_rsvd(a, jax.random.PRNGKey(11), tol=1e-8)
+        assert 158 <= out.rank <= 162
+        assert out.residual_fro(a) < 5e-8
+
+    def test_tall_saturation_routes_direct(self):
+        # tol below the spectrum floor on a TALL matrix: growth hits
+        # the saturation guard and the direct DF route must keep the
+        # residual at the DF floor instead of the f32 tilt floor.
+        rng = np.random.default_rng(12)
+        u, _ = np.linalg.qr(rng.standard_normal((220, 90)))
+        v, _ = np.linalg.qr(rng.standard_normal((90, 90)))
+        sig = 10.0 ** (-6 * np.arange(90) / 89)  # floor 1e-6 > 1e-8
+        a = (u * sig) @ v.T
+        out = refined_rsvd(a, jax.random.PRNGKey(12), tol=1e-4)
+        assert out.residual_fro(a) < 5e-4
+
+    def test_unreachable_tolerance_raises(self):
+        # flat spectrum never crosses: growth exhausts min(m, n) and
+        # the truncation raises (qr.rs:198 semantics)
+        rng = np.random.default_rng(13)
+        q, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+        a = q @ np.diag(np.linspace(1.0, 0.5, 96)) @ q.T
+        with pytest.raises(CompressionError):
+            refined_rsvd(a, jax.random.PRNGKey(13), tol=1e-10)
+
+    def test_full_capture_not_an_error(self):
+        # spectrum crossing right at the capture boundary: the growth
+        # loop certifies the residual <= tol, so a projected spectrum
+        # that never dips below tol is a full-rank SUCCESS, not a
+        # CompressionError.
+        rng = np.random.default_rng(14)
+        u, _ = np.linalg.qr(rng.standard_normal((256, 40)))
+        v, _ = np.linalg.qr(rng.standard_normal((192, 40)))
+        a = (u * np.geomspace(1.0, 1e-2, 40)) @ v.T  # exact rank 40
+        out = refined_rsvd(a, jax.random.PRNGKey(14), tol=1e-6)
+        assert out.rank >= 40
+        assert out.residual_fro(a) < 5e-6
 
     def test_output_types(self):
         a = decaying_matrix(6, 256, 192, decay_rank=60)
