@@ -41,6 +41,17 @@ from .sampling import (
     sample_range_by_rank,
     sample_range_power_iteration,
 )
+from .highacc import (
+    refined_capture,
+    refined_rsvd,
+    refined_rsvd_fused,
+    refined_rsvd_fused_batch,
+)
+from .highacc_id import (
+    refined_column_id,
+    refined_row_id,
+    refined_two_sided_id,
+)
 from .utils.errors import (
     CompressionError,
     LayoutError,
@@ -87,6 +98,10 @@ __all__ = [
     "randomized_adaptive_qr", "randomized_adaptive_svd",
     "nystrom_svd",
     "max_col_norm", "HMT_TOL_FACTOR",
+    # high-accuracy (tol <= 1e-8) pipelines
+    "refined_capture", "refined_rsvd", "refined_rsvd_fused",
+    "refined_rsvd_fused_batch",
+    "refined_column_id", "refined_row_id", "refined_two_sided_id",
     "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils
     "rel_diff_fro", "rel_diff_l2",
