@@ -72,6 +72,7 @@ from .utils.precision import with_precision
 __all__ = [
     "RefinedSVD", "refined_rsvd", "refined_rsvd_fused",
     "refined_rsvd_fused_batch", "refined_rsvd_batch", "refined_capture",
+    "refined_fused_batch_begin", "refined_fused_batch_finish",
     "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
@@ -379,6 +380,11 @@ class RefinedSVD(NamedTuple):
     s: np.ndarray
     vt: np.ndarray
     history: tuple
+    #: False when a requested tolerance was unreachable and the caller
+    #: asked for containment instead of ``CompressionError`` (stream
+    #: drivers record the failure per block; SURVEY §5 elastic
+    #: recovery). The factors are then the full-rank capture.
+    tol_ok: bool = True
 
     @property
     def rank(self) -> int:
@@ -897,53 +903,47 @@ def _fused_capture_vmapped(hi, lo, keys, l, power_iters, refine_rounds,
     return DF(qh, ql), DF(bh, bl)
 
 
-def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
-                             tol: float | None = None, oversample: int = 10,
-                             power_iters: int = 2, refine_rounds: int = 1,
-                             terms: int = DEFAULT_TERMS_PRODUCT,
-                             round_rank: int | None = None,
-                             mesh=None, axis: str = "blocks"
-                             ) -> list[RefinedSVD]:
-    """Fused tol-1e-8 pipeline over a same-shape block stack, vmapped.
+def refined_fused_batch_begin(blocks, key, rank: int | None = None,
+                              tol: float | None = None, oversample: int = 10,
+                              power_iters: int = 2, refine_rounds: int = 1,
+                              terms: int = DEFAULT_TERMS_PRODUCT,
+                              round_rank: int | None = None,
+                              mesh=None, axis: str = "blocks",
+                              on_unreachable: str = "raise") -> dict:
+    """Enqueue the vmapped fused capture for a block stack (async).
 
-    The per-block fused route still costs 2 tunnel dispatches per
-    block; at north-star volume (10k blocks) that is ~8 min of pure
-    flush latency. This driver runs the whole (B, m, n) stack as ONE
-    capture program + ONE final-apply program (the host does a batched
-    f64 SVD of the (B, L, n) cores in between) — dispatch count is
-    O(1) per bucket chunk instead of O(B).
-
-    Same semantics as ``refined_rsvd_fused`` per block, including the
-    tolerance-unreachable error (raised if ANY block's spectrum never
-    crosses ``tol``). Real dtypes; complex or saturated-tall stacks
-    route per block through the host pipeline.
-
-    With ``mesh`` given, the stack and per-block keys are sharded over
-    ``axis`` and the single capture program runs SPMD across the
-    mesh's devices — data-parallel tol-1e-8 compression with zero
-    collectives (per-block work is independent; the SPMD partitioner
-    splits the batch dimension). The block count must be divisible by
-    the mesh axis (the scheduler pads chunks to a mesh-granule
-    multiple).
+    Returns an opaque handle for ``refined_fused_batch_finish``. The
+    device starts the capture immediately (JAX dispatch is async); the
+    host-side tail (batched f64 SVD + truncation + final apply) runs in
+    ``finish`` — stream drivers overlap the NEXT chunk's ``begin`` with
+    the current chunk's ``finish`` (parallel.scheduler's windowed
+    pipeline).
     """
     if rank is None and round_rank is None:
         raise ValueError("need rank= or round_rank= (the per-round "
                          "capture size cannot be derived from tol alone)")
+    if on_unreachable not in ("raise", "mark"):
+        raise ValueError("on_unreachable must be 'raise' or 'mark'")
     blocks = np.asarray(blocks)
     nb, m, n = blocks.shape
     k = int(round_rank if round_rank is not None else rank)
     l = min(k + int(oversample), m, n)
     keys = jax.random.split(key, max(nb, 1))
-    iscx = np.iscomplexobj(blocks)
-    if iscx or (m > n and l * (1 + refine_rounds) >= n):
-        return [refined_rsvd(b, k_, rank=rank, tol=tol,
-                             oversample=oversample, power_iters=power_iters,
-                             refine_rounds=refine_rounds, terms=terms,
-                             round_rank=round_rank)
-                for b, k_ in zip(blocks, keys)]
+    common = dict(rank=rank, tol=tol, oversample=oversample,
+                  power_iters=power_iters, refine_rounds=refine_rounds,
+                  terms=terms, round_rank=round_rank,
+                  on_unreachable=on_unreachable)
+    # Complex stacks run the fused planar capture (each block's re/im
+    # planes through 4x-real Ozaki products — the same _fused_capture
+    # body); only the saturated-tall shape needs the per-block host
+    # route (data-dependent independence logic).
+    if m > n and l * (1 + refine_rounds) >= n:
+        return {"mode": "per_block", "blocks": blocks, "keys": keys,
+                **common}
     total = min(l * (1 + refine_rounds), m, n)
     a = df(blocks)
     hi, lo = a.hi, a.lo
+    shard = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -961,46 +961,121 @@ def refined_rsvd_fused_batch(blocks, key, rank: int | None = None,
                                       power_iters=power_iters,
                                       refine_rounds=refine_rounds,
                                       terms=terms, total=total)
-        b64 = df_to_f64(b)  # materialize inside the guard (async errors)
     except jax.errors.JaxRuntimeError as ex:
         import warnings
 
         warnings.warn(f"vmapped fused capture failed ({ex}); falling "
                       "back to per-block pipelines", RuntimeWarning)
-        return [refined_rsvd(bl, k_, rank=rank, tol=tol,
-                             oversample=oversample, power_iters=power_iters,
-                             refine_rounds=refine_rounds, terms=terms,
-                             round_rank=round_rank)
-                for bl, k_ in zip(blocks, keys)]
+        return {"mode": "per_block", "blocks": blocks, "keys": keys,
+                **common}
+    return {"mode": "fused", "q": q, "b": b, "nb": nb, "shard": shard,
+            "blocks": blocks, "keys": keys, **common}
+
+
+def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
+    """Synchronize + finish a ``refined_fused_batch_begin`` handle."""
+    tol, rank, terms = h["tol"], h["rank"], h["terms"]
+    mark = h["on_unreachable"] == "mark"
+
+    def per_block():
+        outs = []
+        for bl, k_ in zip(h["blocks"], h["keys"]):
+            try:
+                outs.append(refined_rsvd(
+                    bl, k_, rank=rank, tol=tol, oversample=h["oversample"],
+                    power_iters=h["power_iters"],
+                    refine_rounds=h["refine_rounds"], terms=terms,
+                    round_rank=h["round_rank"]))
+            except CompressionError:
+                if not mark:
+                    raise
+                full = refined_rsvd(
+                    bl, k_, rank=rank, oversample=h["oversample"],
+                    power_iters=h["power_iters"],
+                    refine_rounds=h["refine_rounds"], terms=terms,
+                    round_rank=h["round_rank"])
+                outs.append(full._replace(tol_ok=False))
+        return outs
+
+    if h["mode"] == "per_block":
+        return per_block()
+
+    try:
+        b64 = df_to_f64(h["b"])  # synchronizes; async errors surface here
+    except jax.errors.JaxRuntimeError as ex:
+        import warnings
+
+        warnings.warn(f"vmapped fused capture failed at fetch ({ex}); "
+                      "falling back to per-block pipelines", RuntimeWarning)
+        return per_block()
+    q, nb = h["q"], h["nb"]
     uh, s, vt = np.linalg.svd(b64, full_matrices=False)  # batched f64
-    kfs = []
+    kfs, oks = [], []
     for i in range(nb):
-        kf = s.shape[1]
+        kf, ok = s.shape[1], True
         if tol is not None:
             below = np.nonzero(s[i] / s[i, 0] < tol)[0]
             if below.size == 0:
-                raise CompressionError(
-                    f"Could not compress block {i} to relative "
-                    f"tolerance {tol!r}")
-            kf = int(below[0])
+                if not mark:
+                    raise CompressionError(
+                        f"Could not compress block {i} to relative "
+                        f"tolerance {tol!r}")
+                ok = False  # containment: full-rank factors, marked
+            else:
+                kf = int(below[0])
         if rank is not None:
             kf = min(kf, int(rank))
         kfs.append(kf)
+        oks.append(ok)
     # One vmapped apply at the padded max rank; per-block slice on host.
     kmax = max(kfs) if kfs else 0
-    uh_pad = np.zeros((nb, uh.shape[1], kmax))
+    uh_pad = np.zeros((nb, uh.shape[1], kmax), dtype=uh.dtype)
     for i, kf in enumerate(kfs):
         uh_pad[i, :, :kf] = uh[i][:, :kf]
     w_df = df_from_f64(uh_pad)
-    if mesh is not None:
-        w_df = DF(jax.device_put(w_df.hi, shard),
-                  jax.device_put(w_df.lo, shard))
+    if h["shard"] is not None:
+        w_df = DF(jax.device_put(w_df.hi, h["shard"]),
+                  jax.device_put(w_df.lo, h["shard"]))
     u = jax.vmap(lambda qh, ql, w_hi, w_lo: _apply_right(
         DF(qh, ql), DF(w_hi, w_lo), terms, DEFAULT_SLICES_DF))(
             q.hi, q.lo, w_df.hi, w_df.lo)
     return [RefinedSVD(DF(u.hi[i, :, :kf], u.lo[i, :, :kf]),
-                       s[i, :kf], vt[i, :kf, :], ())
+                       s[i, :kf], vt[i, :kf, :], (), tol_ok=oks[i])
             for i, kf in enumerate(kfs)]
+
+
+def refined_rsvd_fused_batch(blocks, key, **kwargs) -> list[RefinedSVD]:
+    """Fused tol-1e-8 pipeline over a same-shape block stack, vmapped.
+
+    The per-block fused route still costs 2 tunnel dispatches per
+    block; at north-star volume (10k blocks) that is ~8 min of pure
+    flush latency. This driver runs the whole (B, m, n) stack as ONE
+    capture program + ONE final-apply program (the host does a batched
+    f64 SVD of the (B, L, n) cores in between) — dispatch count is
+    O(1) per bucket chunk instead of O(B).
+
+    Same semantics as ``refined_rsvd_fused`` per block. A block whose
+    spectrum never crosses ``tol`` raises ``CompressionError`` by
+    default; with ``on_unreachable="mark"`` it is contained instead —
+    the block's factors are the full-rank capture and its result
+    carries ``tol_ok=False`` (stream drivers must not die to one bad
+    block; SURVEY §5 elastic recovery). Saturated-tall stacks route per
+    block through the host pipeline; complex stacks run the fused
+    planar capture.
+
+    With ``mesh`` given, the stack and per-block keys are sharded over
+    ``axis`` and the single capture program runs SPMD across the
+    mesh's devices — data-parallel tol-1e-8 compression with zero
+    collectives (per-block work is independent; the SPMD partitioner
+    splits the batch dimension). The block count must be divisible by
+    the mesh axis (the scheduler pads chunks to a mesh-granule
+    multiple).
+
+    ``refined_fused_batch_begin``/``finish`` expose the async split
+    (device capture vs host tail) for windowed stream overlap.
+    """
+    return refined_fused_batch_finish(
+        refined_fused_batch_begin(blocks, key, **kwargs))
 
 
 def refined_rsvd_batch(blocks, key, **kwargs) -> list[RefinedSVD]:

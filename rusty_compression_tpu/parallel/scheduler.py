@@ -82,6 +82,14 @@ class BlockResult:
     #   execution), so queue wait and overlapped host packing are
     #   excluded. Upper bound on compute + result transfer;
     #   device_time_s <= wall_time_s by construction.
+    error: str | None = None         # per-block failure record (e.g.
+    #   tolerance unreachable): the stream survives, the block is marked
+    #   (SURVEY §5 elastic recovery; the reference errors per matrix,
+    #   svd.rs:97-100 — a stream driver must not die to one bad block)
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
 
     def record(self) -> dict:
         """Structured log record (JSON-ready)."""
@@ -95,6 +103,7 @@ class BlockResult:
             "rel_residual": self.rel_residual,
             "wall_time_s": self.wall_time_s,
             "device_time_s": self.device_time_s,
+            "error": self.error,
         }
 
 
@@ -285,6 +294,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                                    bucket_floor: int = 128,
                                    chunk_bytes: int = 256 << 20,
                                    mesh=None, axis: str = "blocks",
+                                   window: int = 2,
                                    **kwargs) -> list[BlockResult]:
     """Heterogeneous block stream at the north-star tolerance (<= 1e-8).
 
@@ -297,22 +307,29 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     into fixed-size chunks under ``chunk_bytes`` (compile reuse + host
     memory bound, like ``compress_heterogeneous``); every chunk runs as
     ONE vmapped fused capture + ONE final apply
-    (``highacc.refined_rsvd_fused_batch``) — dispatch count is O(1) per
-    chunk instead of O(blocks), which at north-star volume (10k blocks)
-    is the difference between seconds and ~8 minutes of tunnel flush
-    latency. Each block is verified on host in full f64; any block
+    (``highacc.refined_fused_batch_begin/finish``) — dispatch count is
+    O(1) per chunk instead of O(blocks), which at north-star volume
+    (10k blocks) is the difference between seconds and ~8 minutes of
+    tunnel flush latency. ``window`` chunks stay in flight: the next
+    chunk's packing + device capture overlap the current chunk's host
+    tail (batched f64 SVD + per-block f64 verification). Any block
     missing the 5x gate re-runs through the host-orchestrated
-    ``refined_rsvd`` (exact-Gram independence handling). Zero padding
-    is exact (zero rows/columns carry zero singular weight); ragged
-    chunks are filled with rank-1 fillers so every chunk reuses one
-    compiled program.
+    ``refined_rsvd`` (exact-Gram independence handling); a block whose
+    tolerance is genuinely unreachable is CONTAINED — recorded with
+    ``error`` set and full-rank factors — instead of killing the stream
+    (SURVEY §5 elastic recovery; the reference errors per matrix,
+    svd.rs:97-100). Zero padding is exact (zero rows/columns carry zero
+    singular weight); ragged chunks are filled with rank-1 fillers so
+    every chunk reuses one compiled program.
 
     Returns ``BlockResult``s in submission order; ``factors`` is a
     ``models.SVD`` of host f64/c128 numpy arrays (io-serializable;
     reconstruct in numpy to keep f64 accuracy).
     """
-    from ..highacc import refined_rsvd, refined_rsvd_fused_batch
+    from ..highacc import (refined_fused_batch_begin,
+                           refined_fused_batch_finish, refined_rsvd)
     from ..models.svd import SVD
+    from ..utils.errors import CompressionError
 
     shapes = [tuple(np.shape(b)) for b in blocks]
     groups = plan_buckets(shapes, bucket_floor)
@@ -320,50 +337,93 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     keys = jax.random.split(key, max(len(shapes), 1))
     t_start = time.perf_counter()
     granule = 1 if mesh is None else int(mesh.shape[axis])
-    for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
-        batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
-        for c0 in range(0, len(idxs), batch):
-            chunk = idxs[c0:c0 + batch]
-            stack = np.zeros((batch, bm, bn), dtype=np.float64)
-            for s_, i in enumerate(chunk):
-                m, n = shapes[i]
-                stack[s_, :m, :n] = np.asarray(blocks[i])
-            # rank-1 fillers: spectrum [1, 0, ...] crosses any tol at
-            # rank 1, so padded slots can't raise CompressionError
-            for s_ in range(len(chunk), batch):
-                stack[s_, 0, 0] = 1.0
-            t0 = time.perf_counter()
-            outs = refined_rsvd_fused_batch(
-                stack, jax.random.fold_in(key, gi * 100003 + c0),
-                round_rank=round_rank, tol=rel_tol, mesh=mesh, axis=axis,
-                **kwargs)
-            wall = (time.perf_counter() - t0) / max(len(chunk), 1)
-            for s_, i in enumerate(chunk):
-                m, n = shapes[i]
-                b = np.asarray(blocks[i])
-                out = outs[s_]
-                u64, s64, vt64 = out.to_f64()
-                u64, vt64 = u64[:m, :], vt64[:, :n]
-                rec = u64 @ (s64[:, None] * vt64)
-                err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
-                w = wall
-                if err > 5 * rel_tol:
-                    # Host-orchestrated fallback: exact-Gram
-                    # independence logic for rank-deficient content.
-                    t0 = time.perf_counter()
+
+    def dispatch(gi, c0, bm, bn, batch, chunk):
+        """Pack + enqueue one chunk's capture (device runs async)."""
+        dtype = np.result_type(np.float64,
+                               *[np.asarray(blocks[i]).dtype
+                                 for i in chunk])
+        stack = np.zeros((batch, bm, bn), dtype=dtype)
+        for s_, i in enumerate(chunk):
+            m, n = shapes[i]
+            stack[s_, :m, :n] = np.asarray(blocks[i])
+        # rank-1 fillers: spectrum [1, 0, ...] crosses any tol at
+        # rank 1, so padded slots can't trip the tolerance gate
+        for s_ in range(len(chunk), batch):
+            stack[s_, 0, 0] = 1.0
+        t0 = time.perf_counter()
+        h = refined_fused_batch_begin(
+            stack, jax.random.fold_in(key, gi * 100003 + c0),
+            round_rank=round_rank, tol=rel_tol, mesh=mesh, axis=axis,
+            on_unreachable="mark", **kwargs)
+        t_enq = time.perf_counter()
+        return (h, stack, chunk, bm, bn, t0, t_enq)
+
+    prev_ready = [0.0]
+
+    def collect(work):
+        """Finish one chunk: host SVD tail + per-block f64 verify."""
+        h, stack, chunk, bm, bn, t0, t_enq = work
+        outs = refined_fused_batch_finish(h)
+        t_ready = time.perf_counter()
+        wall = (t_ready - t0) / max(len(chunk), 1)
+        dev_block = (t_ready - max(prev_ready[0], t_enq)) / max(
+            len(chunk), 1)
+        prev_ready[0] = t_ready
+        for s_, i in enumerate(chunk):
+            m, n = shapes[i]
+            b = np.asarray(blocks[i])
+            out = outs[s_]
+            u64, s64, vt64 = out.to_f64()
+            u64, vt64 = u64[:m, :], vt64[:, :n]
+            rec = u64 @ (s64[:, None] * vt64)
+            err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
+            w, dev_w = wall, dev_block
+            failure = None if out.tol_ok else (
+                f"tolerance {rel_tol!r} unreachable (full-rank capture "
+                f"recorded)")
+            if err > 5 * rel_tol and out.tol_ok:
+                # Host-orchestrated fallback: exact-Gram independence
+                # logic for rank-deficient content. A genuinely
+                # unreachable tolerance is contained per block.
+                t0f = time.perf_counter()
+                try:
                     out = refined_rsvd(stack[s_], keys[i],
                                        round_rank=round_rank,
                                        tol=rel_tol, **kwargs)
+                except CompressionError as ex:
+                    failure = str(ex)
+                else:
                     u64, s64, vt64 = out.to_f64()
-                    w += time.perf_counter() - t0
                     u64, vt64 = u64[:m, :], vt64[:, :n]
                     rec = u64 @ (s64[:, None] * vt64)
                     err = float(np.linalg.norm(rec - b)
                                 / np.linalg.norm(b))
-                results[i] = BlockResult(
-                    index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
-                    rel_residual=err, wall_time_s=w,
-                    factors=SVD(u64, s64, vt64), device_time_s=w)
+                w += time.perf_counter() - t0f
+                dev_w += time.perf_counter() - t0f
+            if failure is None and err > 5 * rel_tol:
+                failure = (f"residual {err:.3e} missed the 5x{rel_tol:g} "
+                           "gate after fallback")
+            results[i] = BlockResult(
+                index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
+                rel_residual=err, wall_time_s=w,
+                factors=SVD(u64, s64, vt64), device_time_s=dev_w,
+                error=failure)
+
+    # Windowed pipeline: chunk k+1's packing + device capture overlap
+    # chunk k's host tail (SVD + verification); `window` bounds memory.
+    chunk_list = []
+    for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
+        batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
+        for c0 in range(0, len(idxs), batch):
+            chunk_list.append((gi, c0, bm, bn, batch, idxs[c0:c0 + batch]))
+    in_flight: list = []
+    for args in chunk_list:
+        in_flight.append(dispatch(*args))
+        if len(in_flight) >= window:
+            collect(in_flight.pop(0))
+    for work in in_flight:
+        collect(work)
     elapsed = time.perf_counter() - t_start
     if results and elapsed > 0:
         total_bytes = sum(np.asarray(b).nbytes for b in blocks)

@@ -435,3 +435,66 @@ def test_refined_stream_sharded_over_mesh():
         r"\b(all-reduce|all-gather|collective-permute|reduce-scatter"
         r"|all-to-all)\w*")
     assert not collective.findall(hlo)
+
+
+def test_refined_stream_survives_bad_block():
+    """One tolerance-unreachable block must NOT kill the stream
+    (SURVEY §5 elastic recovery; reference errors per matrix,
+    svd.rs:97-100): it is recorded with error set and full-rank
+    factors while every other block still passes the gate."""
+    rng = np.random.default_rng(21)
+
+    def decaying(m, n, decay_rank=30):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    q, _ = np.linalg.qr(rng.standard_normal((100, 100)))
+    flat = q @ np.diag(np.linspace(1.0, 0.5, 100)) @ q.T  # never < tol
+    blocks = [decaying(100, 90), flat, decaying(100, 90)]
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(21), rel_tol=1e-8, round_rank=36,
+        bucket_floor=64)
+    assert [r.index for r in results] == [0, 1, 2]
+    assert results[0].ok and results[2].ok
+    assert results[0].rel_residual < 5e-8
+    assert results[2].rel_residual < 5e-8
+    bad = results[1]
+    assert not bad.ok
+    assert "unreachable" in bad.error or "gate" in bad.error
+    assert bad.record()["error"] is not None
+    # full-rank capture factors are still returned (usable fallback)
+    assert bad.factors.u.shape[0] == 100
+
+
+def test_refined_window_overlap_deterministic():
+    """The windowed pipeline overlaps chunk k+1's device capture with
+    chunk k's host tail; results must be bit-deterministic in the
+    window size (sketch keys depend only on chunk position)."""
+    rng = np.random.default_rng(22)
+
+    def decaying(m, n, decay_rank=30):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    blocks = [decaying(100, 90) for _ in range(4)]
+    kw = dict(rel_tol=1e-8, round_rank=36, bucket_floor=64,
+              chunk_bytes=2 * 128 * 128 * 8)
+    r1 = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(22), window=1, **kw)
+    r3 = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(22), window=3, **kw)
+    for a, b in zip(r1, r3):
+        assert a.rank == b.rank
+        np.testing.assert_array_equal(a.factors.u, b.factors.u)
+        assert a.rel_residual < 5e-8 and b.rel_residual < 5e-8
+        # honest metrics: the device window is bounded by the wall
+        assert a.device_time_s <= a.wall_time_s + 1e-9
+        assert b.device_time_s <= b.wall_time_s + 1e-9
