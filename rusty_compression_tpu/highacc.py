@@ -86,6 +86,14 @@ DEFAULT_SLICES_DF = 10
 SLICES_F32 = 5
 
 
+def _nsl(terms: int) -> int:
+    """Slices the pair cut at ``terms`` can actually consume: a product
+    keeping pairs with p + q < terms never touches slice indices >=
+    terms, so splitting beyond that wastes one full pass over the
+    operand per extra slice (identical output either way)."""
+    return min(DEFAULT_SLICES_DF, terms)
+
+
 def _tri_inv(r64: np.ndarray) -> np.ndarray:
     """f64 inverse of a small upper-triangular matrix (host LAPACK)."""
     return np.linalg.solve(r64, np.eye(r64.shape[0], dtype=np.float64))
@@ -113,8 +121,8 @@ def _gram(y_slices, y_scale, terms: int) -> DF:
 @functools.partial(jax.jit, static_argnames=("terms", "slices_b"))
 def _apply_right(y: DF, b: DF, terms: int, slices_b: int) -> DF:
     """``Y @ B`` with Y a (m, L) DF iterate and B small (L, L')."""
-    ys, ysc = ozaki_split(y, DEFAULT_SLICES_DF, contract_axis=1)
-    bs, bsc = ozaki_split(b, slices_b, contract_axis=0)
+    ys, ysc = ozaki_split(y, _nsl(terms), contract_axis=1)
+    bs, bsc = ozaki_split(b, min(slices_b, _nsl(terms)), contract_axis=0)
     return ozaki_matmul_split(ys, ysc, bs, bsc, terms=terms)
 
 
@@ -142,7 +150,7 @@ def _residual(a: DF, u1, w1, terms: int) -> DF:
 def _project(q: DF, a_col_slices, a_col_scale, terms: int) -> DF:
     """``B = Q^H A`` from a cached column-scaled split of A."""
     qt = DF(q.hi.T, q.lo.T)
-    qs, qsc = ozaki_split(qt, DEFAULT_SLICES_DF, contract_axis=1)
+    qs, qsc = ozaki_split(qt, _nsl(terms), contract_axis=1)
     return ozaki_matmul_split(qs, qsc, a_col_slices, a_col_scale,
                               terms=terms)
 
@@ -198,8 +206,8 @@ def _cgram(yr_s, yr_c, yi_s, yi_c, terms: int) -> DF:
 @functools.partial(jax.jit, static_argnames=("terms", "slices_b"))
 def _capply_right(y: DF, b: DF, terms: int, slices_b: int) -> DF:
     """Complex ``Y @ B``."""
-    ysp = _csplit(y, DEFAULT_SLICES_DF, 1)
-    bsp = _csplit(b, slices_b, 0)
+    ysp = _csplit(y, _nsl(terms), 1)
+    bsp = _csplit(b, min(slices_b, _nsl(terms)), 0)
     return _cmul_from_splits(ysp, bsp, terms)
 
 
@@ -217,9 +225,9 @@ def _cproject(q: DF, a_sp, terms: int) -> DF:
     """Complex ``B = Q^H A`` against a cached planar split of A:
     ``(Qr^T Ar + Qi^T Ai) + i (Qr^T Ai - Qi^T Ar)``."""
     qr, qi = df_real(q), df_imag(q)
-    qr_sp = ozaki_split(DF(qr.hi.T, qr.lo.T), DEFAULT_SLICES_DF,
+    qr_sp = ozaki_split(DF(qr.hi.T, qr.lo.T), _nsl(terms),
                         contract_axis=1)
-    qi_sp = ozaki_split(DF(qi.hi.T, qi.lo.T), DEFAULT_SLICES_DF,
+    qi_sp = ozaki_split(DF(qi.hi.T, qi.lo.T), _nsl(terms),
                         contract_axis=1)
     (ars, arc), (ais, aic) = a_sp
     rr = ozaki_matmul_split(*qr_sp, ars, arc, terms=terms)
@@ -233,7 +241,7 @@ def cdf_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
                     always_shift: bool = False):
     """Complex CholeskyQR pass in planar Ozaki arithmetic (see
     ``df_cholesky_qr``); host work is c128 LAPACK on the tiny Gram."""
-    ysp = _csplit_jit(y, DEFAULT_SLICES_DF, 0)
+    ysp = _csplit_jit(y, _nsl(terms), 0)
     (yrs, yrc), (yis, yic) = ysp
     g = df_to_f64(_cgram(yrs, yrc, yis, yic, terms))
     g = (g + g.conj().T) / 2.0
@@ -304,7 +312,7 @@ def df_cholesky_qr(y: DF, terms: int = DEFAULT_TERMS_PRODUCT,
     (pivoted_qr.rs:104-114) for the high-accuracy path; see
     ops/orthogonalize.py for the plain-f32 equivalents.
     """
-    ys, ysc = _split(y, DEFAULT_SLICES_DF, 0)
+    ys, ysc = _split(y, _nsl(terms), 0)
     g = df_to_f64(_gram(ys, ysc, terms))
     g = (g + g.T) / 2.0
     m, l = y.shape[-2], g.shape[0]
@@ -425,10 +433,15 @@ def _gram_eigvals(d):
 
 @with_precision
 def _f32_round(a_hi, key, size: int, power_iters: int):
-    """One fast-pipeline round: f32 range finder + small-sketch SVD.
+    """One fast-pipeline round: f32 range finder + projection.
 
-    Returns ``(u, w)`` with ``w = s * vt`` — the f32 rank-``size``
-    approximation ``a_hi ~= u @ w`` (svd.rs:171-183 pattern).
+    Returns ``(u, w) = (Q, Q^H A)`` — the f32 rank-``size``
+    approximation ``a_hi ~= u @ w`` (the svd.rs:171-183 sketch pattern
+    WITHOUT the small SVD: recomposing ``Q uhat, s vt`` spans the same
+    subspace and carries the same f32-level factor error, which the
+    Ozaki residual round repairs either way — but the (size, n) device
+    SVD and the (m, size) lift GEMM it costs are the slowest non-GEMM
+    ops in the fused capture on TPU).
     """
     # svqb: the power iterate's condition is sigma_1/sigma_l of the
     # *remaining* spectrum — beyond CholeskyQR-family reach (1/u) when
@@ -436,9 +449,8 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     # runs off-MXU; svqb is all-GEMM plus one tiny eigh.
     q = range_finder(DenseOperator(a_hi), key, size,
                      power_iters=power_iters, ortho="svqb")
-    svd = SVD.compute_from_range_estimate(q, DenseOperator(a_hi))
-    w = svd.s.astype(svd.vt.dtype)[:, None] * svd.vt
-    return svd.u, w
+    w = herm(DenseOperator(a_hi).conj_matmat(q))
+    return q, w
 
 
 def _merge_block(basis, u_i, iscx: bool, room: int):
@@ -606,9 +618,9 @@ def _capture_basis_growth(a: DF, key, tol: float, oversample: int,
 def _project_b64(a: DF, q: DF, iscx: bool, terms: int) -> np.ndarray:
     """Host f64/c128 core ``B = Q^H A`` via the Ozaki projection."""
     if iscx:
-        return df_to_f64(_cproject(q, _csplit_jit(a, DEFAULT_SLICES_DF, 0),
+        return df_to_f64(_cproject(q, _csplit_jit(a, _nsl(terms), 0),
                                    terms))
-    a_col = _split(a, DEFAULT_SLICES_DF, 0)
+    a_col = _split(a, _nsl(terms), 0)
     return df_to_f64(df_project(q, a_col, terms))
 
 
@@ -851,9 +863,9 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
     q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms,
                              mode="fast")
     if iscx:
-        b = _cproject(q, _csplit(a, DEFAULT_SLICES_DF, 0), terms)
+        b = _cproject(q, _csplit(a, _nsl(terms), 0), terms)
     else:
-        a_col = ozaki_split(a, DEFAULT_SLICES_DF, contract_axis=0)
+        a_col = ozaki_split(a, _nsl(terms), contract_axis=0)
         b = _project(q, a_col[0], a_col[1], terms)
     return q, b
 

@@ -140,7 +140,7 @@ def _df_gram(y: DF, terms: int) -> DF:
     if jnp.iscomplexobj(y.hi):
         yh = DF(y.hi.T, y.lo.T)
         return ozaki_matmul_complex(yh, y, terms=terms, conj_a=True)
-    ys, ysc = ozaki_split(y, 10, contract_axis=0)
+    ys, ysc = ozaki_split(y, min(10, terms), contract_axis=0)
     yt = jnp.swapaxes(ys, -1, -2)
     return ozaki_matmul_split(yt, ysc.T, ys, ysc, terms=terms)
 
@@ -149,8 +149,8 @@ def _df_apply(y: DF, z: DF, terms: int) -> DF:
     """Tall ``Y @ Z`` in Ozaki DF."""
     if jnp.iscomplexobj(y.hi):
         return ozaki_matmul_complex(y, z, terms=terms)
-    ys, ysc = ozaki_split(y, 10, contract_axis=1)
-    zs, zsc = ozaki_split(z, 10, contract_axis=0)
+    ys, ysc = ozaki_split(y, min(10, terms), contract_axis=1)
+    zs, zsc = ozaki_split(z, min(10, terms), contract_axis=0)
     return ozaki_matmul_split(ys, ysc, zs, zsc, terms=terms)
 
 

@@ -42,6 +42,21 @@ __all__ = ["ozaki_split", "ozaki_matmul", "ozaki_matmul_split",
 DEFAULT_W = 5          # slice mantissa bits: 2*5 + log2(16384) = 24 <= 24
 DEFAULT_TERMS = 7      # ~1e-10 relative accuracy
 
+def _tail32_first_diag(terms: int, w: int) -> int:
+    """First diagonal accumulated in plain f32 instead of a DF fold.
+
+    A DF fold costs a full renormalization pass over the output per
+    diagonal (5 array reads/writes — dominant HBM traffic for (m, n)
+    outputs like the residual stage). An f32 running sum of the deep
+    diagonals rounds each add at ``2^-24 * 2^(-d0 w)`` of the leading
+    scale; keeping that at least ~2^-15 below the pair-truncation
+    floor ``2^(-terms w)`` requires ``d0 >= terms - (24 - 9)/w`` —
+    i.e. the last ~3 diagonals (w=5) ride the f32 tail, the leading
+    ones keep exact DF folds. Validated against the 1e-13-of-row-scale
+    gates in tests/test_doublefloat.py (terms=10 included).
+    """
+    return max(terms - 3, -(-20 // w))
+
 
 def _exp2_int(e):
     """Exact 2^e for int32 e in [-126, 127], by exponent-bit construction.
@@ -129,7 +144,9 @@ def ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
     k = int(a_slices.shape[-1])
     group = max(1, (1 << (24 - 2 * w)) // max(k, 1))
     a_small = a_slices.shape[-2] <= b_slices.shape[-1]
-    acc = None  # DF accumulator, built from largest diagonal down
+    acc = None   # DF accumulator, built from largest diagonal down
+    tail = None  # plain-f32 accumulator for the deep diagonals
+    tail_d0 = _tail32_first_diag(terms, w)
     for d in range(terms):
         p_lo = max(0, d - (sb - 1))
         p_hi = min(d, sa - 1)
@@ -152,8 +169,17 @@ def ozaki_matmul_split(a_slices, a_scale, b_slices, b_scale,
                 g = jax.lax.dot_general(
                     a_sel, b_sel, (((0, 2), (0, 1)), ((), ())),
                     preferred_element_type=jnp.float32)
-            acc = DF(g, jnp.zeros_like(g)) if acc is None else \
-                _df_add_f32_exactish(acc, g)
+            if acc is not None and d >= tail_d0:
+                # Deep diagonals: plain-f32 running sum, error well
+                # below the pair-truncation floor (see
+                # _tail32_first_diag) at a fraction of the DF fold's
+                # HBM traffic on (m, n) outputs (the residual stage).
+                tail = g if tail is None else tail + g
+            else:
+                acc = DF(g, jnp.zeros_like(g)) if acc is None else \
+                    _df_add_f32_exactish(acc, g)
+    if tail is not None:
+        acc = _df_add_f32_exactish(acc, tail)
     out_scale = a_scale * b_scale  # powers of two; exact multiply below
     return DF(acc.hi * out_scale, acc.lo * out_scale)
 
