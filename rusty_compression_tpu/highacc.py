@@ -870,6 +870,34 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
     return q, b
 
 
+def fused_capture_flops(m: int, n: int, l: int, power_iters: int = 2,
+                        refine_rounds: int = 1,
+                        terms: int = DEFAULT_TERMS_PRODUCT) -> int:
+    """MXU bf16-pass FLOPs of one fused capture (MFU accounting).
+
+    Counts every matmul at its bf16-pass cost: f32 GEMMs under the
+    ``highest`` policy lower to 6 MXU passes (utils/mfu derate table),
+    Ozaki pair-GEMMs are native bf16. Small O(L^3) ops (svqb eigh, NS
+    corrections) are omitted — sub-1% of the total at capture shapes.
+    Compare against the RAW bf16 peak (``mfu_pct(..., "default")``).
+    """
+    rounds = 1 + refine_rounds
+    total = min(l * rounds, m, n)
+    pairs = terms * (terms + 1) // 2
+    flops = 0
+    # f32 rounds: (2q+1) sketch GEMMs + 1 projection GEMM, each 2mnl
+    # at 6 bf16 passes, plus deflation GEMMs on later rounds (small).
+    flops += rounds * (2 * power_iters + 2) * 2 * m * n * l * 6
+    # Ozaki residual at slice budget max(terms, 8): s(s+1)/2 pair-GEMMs.
+    s = max(terms, 8)
+    flops += refine_rounds * (s * (s + 1) // 2) * 2 * m * n * l
+    # NS orthonormalization (fast mode: 2 passes), gram + apply per pass.
+    flops += 2 * 2 * pairs * 2 * m * total * total
+    # Final DF projection Q^H A.
+    flops += pairs * 2 * total * m * n
+    return flops
+
+
 def refined_rsvd_fused(a, key, rank: int | None = None,
                        tol: float | None = None, oversample: int = 10,
                        power_iters: int = 2, refine_rounds: int = 1,

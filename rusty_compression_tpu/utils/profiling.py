@@ -21,7 +21,7 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["sync", "timeit_slope", "trace"]
+__all__ = ["sync", "timeit_slope", "scan_timeit", "trace"]
 
 
 def sync(tree) -> None:
@@ -64,6 +64,52 @@ def timeit_slope(fn, *args, n1: int = 5, n2: int = 45, trials: int = 5,
         # bound, fine at this granularity).
         med = float(np.median(means))
     return med
+
+
+def scan_timeit(fn, a, *rest, reps=(2, 26), trials: int = 5) -> float:
+    """Dispatch-immune per-call seconds of ``fn(a, *rest)``.
+
+    The tunnel's per-dispatch flush latency drifts 25 ms -> >1.5 s
+    within a session (CLAUDE.md), which both wall-clock and dispatch-
+    slope timers inherit. Here ``fn`` runs R times inside ONE jitted
+    ``lax.scan`` whose carry is ``a`` perturbed by a near-free data
+    dependency on fn's first output leaf (serializing iterations,
+    defeating CSE); the contrast between the two rep counts in ``reps``
+    cancels every per-dispatch cost, and min-statistics over ``trials``
+    exploits the latency's hard floor (the jitter is one-sided).
+
+    ``fn`` must accept ``a`` as its first argument and be shape-
+    preserving in nothing but that dependency; returns seconds per call
+    (NaN when every slope is negative — unusable window).
+    """
+    import jax.numpy as jnp
+
+    def make(r):
+        def body(c, _):
+            out = fn(c, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            dep = jnp.real(jnp.ravel(leaf)[0])
+            return c * (1.0 + 0.0 * dep.astype(jnp.real(c).dtype)), dep
+        return jax.jit(lambda x: jax.lax.scan(body, x, None, length=r)[0])
+
+    ra, rb = reps
+    fa, fb = make(ra), make(rb)
+    sync(fa(a))
+    sync(fb(a))
+    tas, tbs, slopes = [], [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        sync(fa(a))
+        tas.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(fb(a))
+        tbs.append(time.perf_counter() - t0)
+        slopes.append((tbs[-1] - tas[-1]) / (rb - ra))
+    per = (min(tbs) - min(tas)) / (rb - ra)
+    if per <= 0:
+        pos = [s for s in slopes if s > 0]
+        per = float(np.median(pos)) if pos else float("nan")
+    return per
 
 
 @contextlib.contextmanager
