@@ -135,7 +135,8 @@ def main(argv=None) -> int:
 
         results = compress_heterogeneous_refined(
             blocks, jax.random.key(args.seed), rel_tol=args.tol,
-            round_rank=args.round_rank, bucket_floor=args.bucket_floor)
+            round_rank=args.round_rank, bucket_floor=args.bucket_floor,
+            chunk_bytes=args.chunk_bytes, window=args.window, mesh=mesh)
         return _finish(args, results, indices, n_total)
 
     kwargs: dict = dict(bucket_floor=args.bucket_floor,
@@ -182,9 +183,15 @@ def _finish(args, results, indices, n_total) -> int:
 
     errs = [r.rel_residual for r in results]
     ranks = [r.rank for r in results]
+    failed = [r for r in results if not r.ok]
     print(f"compressed {len(results)} blocks -> {args.output}")
     print(f"ranks: min {min(ranks)} / max {max(ranks)}; "
           f"rel residual: max {max(errs):.3e}")
+    if failed:
+        # contained per-block failures (SURVEY §5): stream completed,
+        # the failed blocks are recorded in the manifest with `error`
+        print(f"WARNING: {len(failed)} block(s) failed their gate "
+              f"(first: block {failed[0].index}: {failed[0].error})")
     return 0
 
 
