@@ -128,6 +128,23 @@ def main(argv=None) -> int:
         mesh = make_mesh()
         print(f"mesh: {jax.local_device_count()} devices over 'blocks'")
 
+    # Incremental checkpointing (elastic recovery at volume): every
+    # finished block is persisted the moment its chunk collects, so a
+    # mid-stream death loses at most the in-flight window and
+    # ``--resume`` re-submits only the missing blocks. (End-of-run
+    # batch saving lost the WHOLE stream to a crash at block 9999.)
+    import dataclasses
+
+    append0 = args.resume and os.path.exists(
+        os.path.join(args.output, "manifest.jsonl"))
+    state = {"append": append0}
+
+    def on_result(r):
+        if indices != list(range(len(indices))):
+            r = dataclasses.replace(r, index=indices[r.index])
+        rcio.save_block_results(args.output, [r], append=state["append"])
+        state["append"] = True
+
     if args.highacc:
         if args.tol is None:
             raise SystemExit("--highacc requires --tol")
@@ -136,7 +153,8 @@ def main(argv=None) -> int:
         results = compress_heterogeneous_refined(
             blocks, jax.random.key(args.seed), rel_tol=args.tol,
             round_rank=args.round_rank, bucket_floor=args.bucket_floor,
-            chunk_bytes=args.chunk_bytes, window=args.window, mesh=mesh)
+            chunk_bytes=args.chunk_bytes, window=args.window, mesh=mesh,
+            on_result=on_result)
         return _finish(args, results, indices, n_total)
 
     kwargs: dict = dict(bucket_floor=args.bucket_floor,
@@ -156,7 +174,8 @@ def main(argv=None) -> int:
             kwargs.update(oversample=args.oversample)
 
     results = compress_heterogeneous(
-        blocks, jax.random.key(args.seed), mesh=mesh, **kwargs)
+        blocks, jax.random.key(args.seed), mesh=mesh, on_result=on_result,
+        **kwargs)
     return _finish(args, results, indices, n_total)
 
 
@@ -165,15 +184,12 @@ def _finish(args, results, indices, n_total) -> int:
     from .utils.logging import MetricsLogger
 
     # restore original submission indices when resuming a sub-list
+    # (factors + manifest were already streamed out by on_result)
     if indices != list(range(len(indices))):
         import dataclasses
 
         results = [dataclasses.replace(r, index=indices[i])
                    for i, r in enumerate(results)]
-
-    append = args.resume and os.path.exists(
-        os.path.join(args.output, "manifest.jsonl"))
-    rcio.save_block_results(args.output, results, append=append)
 
     if args.metrics:
         with open(args.metrics, "a") as f:

@@ -167,6 +167,7 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                            sample_size: int = 10,
                            window: int = 2,
                            chunk_bytes: int = 1 << 30,
+                           on_result=None,
                            **kwargs) -> list[BlockResult]:
     """Compress a heterogeneous list of dense blocks.
 
@@ -268,6 +269,8 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
                 index=i, shape=(m, n), bucket=(bm, bn), rank=int(ranks[slot]),
                 rel_residual=float(errs[slot]), wall_time_s=per_block,
                 factors=f, device_time_s=dev_block)
+            if on_result is not None:
+                on_result(results[i])
 
     # Windowed pipeline: keep up to `window` chunks in flight so host-side
     # packing of the next chunk overlaps device compute of the current one
@@ -295,6 +298,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                                    chunk_bytes: int = 256 << 20,
                                    mesh=None, axis: str = "blocks",
                                    window: int = 2,
+                                   on_result=None,
                                    **kwargs) -> list[BlockResult]:
     """Heterogeneous block stream at the north-star tolerance (<= 1e-8).
 
@@ -409,6 +413,8 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 rel_residual=err, wall_time_s=w,
                 factors=SVD(u64, s64, vt64), device_time_s=dev_w,
                 error=failure)
+            if on_result is not None:
+                on_result(results[i])
 
     # Windowed pipeline: chunk k+1's packing + device capture overlap
     # chunk k's host tail (SVD + verification); `window` bounds memory.

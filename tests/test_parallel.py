@@ -498,3 +498,17 @@ def test_refined_window_overlap_deterministic():
         # honest metrics: the device window is bounded by the wall
         assert a.device_time_s <= a.wall_time_s + 1e-9
         assert b.device_time_s <= b.wall_time_s + 1e-9
+
+
+def test_on_result_streams_incrementally(key):
+    """Both stream drivers emit every finished block through on_result
+    (the CLI persists factors per block as chunks collect, so a
+    mid-stream death loses at most the in-flight window)."""
+    rng = np.random.default_rng(31)
+    blocks = [rng.standard_normal((40 + 8 * i, 36)) for i in range(5)]
+    seen = []
+    par.compress_heterogeneous(blocks, key, rank=4, bucket_floor=32,
+                               on_result=seen.append)
+    assert sorted(r.index for r in seen) == list(range(5))
+    assert all(r.factors.u.shape[0] == blocks[r.index].shape[0]
+               for r in seen)
