@@ -45,7 +45,7 @@ def main():
         hilbert, laplace_kernel_block, random_cloud)
     from rusty_compression_tpu.utils.profiling import sync, timeit_slope
 
-    from rusty_compression_tpu.utils.mfu import mfu_pct
+    from rusty_compression_tpu.utils.mfu import hbm_util_pct, mfu_pct
     from rusty_compression_tpu.utils.precision import default_precision
 
     dev = jax.devices()[0]
@@ -154,7 +154,12 @@ def main():
                err <= 10 * e_opt + 100 * np.finfo(dt_name).eps
                and col_exact < (1e-12 if not on_tpu else 1e-5),
                {"rank": int(cid.rank), "rel_err": err, "e_opt": e_opt,
-                "col_exact": col_exact, "wall_s": dt2},
+                "col_exact": col_exact, "wall_s": dt2,
+                # HBM roofline (VERDICT r2 weak #5): the blocked
+                # small-k path reads the input ~twice (pivot sketch +
+                # R-row projection); container math is O((m+n)k)
+                "hbm_util_pct": hbm_util_pct(2 * h.size * h.dtype.itemsize,
+                                             dt2, dev.device_kind)},
                # truncated Householder QR to rank 64 (4 m n k) + the
                # randomized pivot sketch (2 l m n, l = block+p)
                flops=4 * n * n * 64 + 2 * 40 * n * n, seconds=dt2)
@@ -246,7 +251,10 @@ def main():
                bool(np.all(errs4 <= gate4)),
                {"gbps": stack.size * stack.dtype.itemsize / dt4 / 1e9,
                 "max_rel_err": float(errs4.max()), "block_dim": mb,
-                "rank": rank4},
+                "rank": rank4,
+                "hbm_util_pct": hbm_util_pct(
+                    2 * stack.size * stack.dtype.itemsize, dt4,
+                    dev.device_kind)},
                # per block: truncated pivoted QR of (mb, mb) to rank k
                # (4 m n k), LQ of C (4 m k^2), ID triangular solves (k^2 n)
                flops=nb * (4 * mb * mb * rank4 + 4 * mb * rank4 ** 2
@@ -279,7 +287,10 @@ def main():
                    err4b <= 5e-3,
                    {"gbps": blk_b.size * blk_b.dtype.itemsize / dt4b / 1e9,
                     "block_dim": mb_b, "rank": rank_b,
-                    "max_rel_err": err4b, "wall_s": dt4b},
+                    "max_rel_err": err4b, "wall_s": dt4b,
+                    "hbm_util_pct": hbm_util_pct(
+                        2 * blk_b.size * blk_b.dtype.itemsize, dt4b,
+                        dev.device_kind)},
                    flops=(4 * mb_b * mb_b * rank_b + 4 * mb_b * rank_b ** 2
                           + rank_b ** 2 * mb_b), seconds=dt4b)
 
@@ -424,7 +435,10 @@ def main():
                              capture_output=True, text=True, timeout=420)
                 cx_ok = pr.returncode == 0 and "RESID" in pr.stdout
                 if not cx_ok:
-                    cx_why = (pr.stderr.strip().splitlines() or ["?"])[-1][:160]
+                    lines = [ln for ln in pr.stderr.strip().splitlines()
+                             if "Error" in ln or "error" in ln]
+                    cx_why = (lines or pr.stderr.strip().splitlines()
+                              or ["?"])[-1][:200]
             except _sp.TimeoutExpired:
                 cx_ok, cx_why = False, "probe timed out (tunnel)"
         if cx_ok:

@@ -421,8 +421,11 @@ def _orthonormalize_f32(y):
     # kernels emit garbage columns beyond cond ~ 1/u, which poisons the
     # DF merge; svqb emits its directions in descending-eigenvalue
     # order, so the caller can slice off the numerically dead tail.
+    # passes=2: the DF Newton-Schulz merge after this handles Gram cond
+    # up to ~1e4, so the third polish pass (one more ~0.7 ms device
+    # eigh) bought nothing — accuracy gates unchanged at 2.
     from .ops.orthogonalize import svqb
-    return svqb(y)
+    return svqb(y, passes=2)
 
 
 @with_precision
@@ -443,10 +446,15 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     SVD and the (m, size) lift GEMM it costs are the slowest non-GEMM
     ops in the fused capture on TPU).
     """
-    # svqb: the power iterate's condition is sigma_1/sigma_l of the
-    # *remaining* spectrum — beyond CholeskyQR-family reach (1/u) when
-    # a round spans >7 decades in f32. Householder would also work but
-    # runs off-MXU; svqb is all-GEMM plus one tiny eigh.
+    # svqb everywhere, incl. mid-iteration: the power iterate's
+    # condition is sigma_1/sigma_l of the *remaining* spectrum — beyond
+    # CholeskyQR-family reach (1/u) when a round spans >7 decades in
+    # f32. The eigh-free shift-NS alternative (ops.orthogonalize.nsqb)
+    # was evaluated and REJECTED here: without the eigenbasis, weak
+    # directions stay mixed into strong columns and fall below the f32
+    # rounding floor — measured span residual 1.4e-6 vs svqb's 1.4e-7
+    # on a decaying-spectrum iterate, flooring the whole capture at
+    # ~3e-7. The eigh is load-bearing.
     q = range_finder(DenseOperator(a_hi), key, size,
                      power_iters=power_iters, ortho="svqb")
     w = herm(DenseOperator(a_hi).conj_matmat(q))

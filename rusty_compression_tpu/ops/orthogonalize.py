@@ -31,10 +31,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..utils.dtypes import eps, herm
+from ..utils.dtypes import eps, herm, real_dtype
 from ..utils.precision import with_precision
 
-__all__ = ["cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
+__all__ = ["nsqb", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
            "svqb", "orthonormalize"]
 
 
@@ -122,6 +122,44 @@ def shifted_cholesky_qr3(y):
 
 
 @with_precision
+def nsqb(y, shift_rel: float = 1e-5, iters: int = 22):
+    """All-GEMM approximate orthonormalization: ``Q = Y (G + sigma I)^{-1/2}``
+    via the coupled Newton-Schulz inverse square root — NO eigh/Cholesky.
+
+    The eigh inside ``svqb`` costs ~0.7 ms per call on this TPU backend
+    regardless of size, which dominated the f32 range-finder rounds of
+    the high-accuracy capture (~5 orthonormalizations per round, more
+    than all their GEMMs together). This kernel replaces it with ~2
+    (l, l) GEMMs per NS iteration — sub-0.1 ms wall at sketch sizes.
+
+    Semantics: directions with Gram eigenvalue above ``shift_rel *
+    lambda_max`` come out orthonormal to ~(shift_rel + NS residual);
+    weaker directions degrade gracefully to bounded near-duplicates
+    (the shifted-CholeskyQR-style bias — span is preserved exactly,
+    ``f(G)`` is full-rank spectral). Column order is preserved, NOT
+    sorted by significance — use ``svqb`` when descending order or a
+    spectral clip is required (basis merges, final capture bases).
+    Intended for MID-ITERATION re-orthonormalization, where the result
+    only preconditions the next operator application.
+    """
+    from .ns_polar import _ns_inv_sqrt_f32
+
+    g = herm(y) @ y
+    l = g.shape[-1]
+    # Exact even-power-of-two scaling so ||G'|| <= 1 (NS domain).
+    rowsum = jnp.maximum(jnp.max(jnp.sum(jnp.abs(g), axis=-1)),
+                         jnp.asarray(1e-30, real_dtype(y.dtype)))
+    _, e = jnp.frexp(jnp.real(rowsum))
+    e = e + (e & 1)
+    scale = jnp.ldexp(jnp.asarray(1.0, real_dtype(y.dtype)), -e)
+    gs = g * scale.astype(g.dtype)
+    shift = jnp.asarray(shift_rel, real_dtype(y.dtype)).astype(g.dtype)
+    a = gs + shift * jnp.eye(l, dtype=g.dtype)
+    z = _ns_inv_sqrt_f32(a, iters)  # hermitian-PSD NS works for c64 too
+    half = jnp.ldexp(jnp.asarray(1.0, real_dtype(y.dtype)), -(e >> 1))
+    return y @ (z * half.astype(z.dtype))
+
+
 def svqb(y, passes: int = 3):
     """SVQB orthonormalization (Stathopoulos & Wu 2002): robust at ANY
     condition number, all-GEMM plus one tiny (l, l) eigh per pass.
@@ -191,4 +229,6 @@ def orthonormalize(y, method: str = "auto", passes: int | None = None):
         return shifted_cholesky_qr3(y)[0]
     if method == "svqb":
         return svqb(y) if passes is None else svqb(y, passes=passes)
+    if method == "nsqb":
+        return nsqb(y)
     raise ValueError(f"unknown orthonormalization method {method!r}")

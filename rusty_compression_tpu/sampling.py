@@ -99,7 +99,8 @@ def sample_range_power_iteration(op, key, k: int, p: int = 5,
 
 @with_precision
 def range_finder(op, key, size: int, power_iters: int = 0,
-                 ortho: str = "auto", sketch_precision: str | None = None):
+                 ortho: str = "auto", sketch_precision: str | None = None,
+                 mid_ortho: str | None = None):
     """HMT range finder: the full ``size``-column orthonormal sketch basis.
 
     The production fast path for randomized factorizations: one Gaussian
@@ -134,15 +135,19 @@ def range_finder(op, key, size: int, power_iters: int = 0,
 
     with sketch_ctx():
         y = op.matmat(omega)
+    mid = mid_ortho or ortho
     for _ in range(power_iters):
         # Mid-iteration re-orths only stabilize the iterate; a single
         # svqb pass suffices (see ops.orthogonalize) and saves 2 of the
         # 3 small eighs per stage — the serial cost that dominates the
-        # TPU rSVD wall once GEMMs run at MXU rate.
-        q = orthonormalize(y, ortho, passes=1)
+        # TPU rSVD wall once GEMMs run at MXU rate. ``mid_ortho="nsqb"``
+        # goes further (no eigh at all mid-loop): the iterate only needs
+        # bounded conditioning before the next operator application, and
+        # the FINAL basis still gets the full ``ortho`` treatment.
+        q = orthonormalize(y, mid, passes=1)
         with sketch_ctx():
             w_raw = op.conj_matmat(q)
-        w = orthonormalize(w_raw, ortho, passes=1)
+        w = orthonormalize(w_raw, mid, passes=1)
         with sketch_ctx():
             y = op.matmat(w)
     return orthonormalize(y, ortho)

@@ -247,3 +247,32 @@ def test_power_iteration_over_wide_spectrum_f32():
         assert err("auto") < 1e-4          # the default must be safe
         # the failure mode this guards against (why auto != scholqr3)
         assert err("scholqr3") > 1e-2
+
+
+class TestNSQB:
+    def test_well_conditioned_orthonormal(self):
+        import numpy as np
+
+        from rusty_compression_tpu.ops.orthogonalize import nsqb
+
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.standard_normal((300, 48)), jnp.float32)
+        q = np.asarray(nsqb(y))
+        assert np.abs(q.T @ q - np.eye(48)).max() < 1e-3
+        # span preserved (full-rank spectral transform)
+        qq, _ = np.linalg.qr(np.asarray(y, np.float64))
+        r = q - qq @ (qq.T @ q)
+        assert np.linalg.norm(r) / np.linalg.norm(q) < 1e-5
+
+    def test_rank_deficient_bounded(self):
+        import numpy as np
+
+        from rusty_compression_tpu.ops.orthogonalize import nsqb
+
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((200, 8))
+        y = jnp.asarray(base @ rng.standard_normal((8, 24)), jnp.float32)
+        q = np.asarray(nsqb(y))
+        # dead directions degrade to bounded columns, never blow up
+        assert np.isfinite(q).all()
+        assert np.linalg.norm(q, axis=0).max() < 10.0
