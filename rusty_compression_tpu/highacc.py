@@ -461,6 +461,31 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     return q, w
 
 
+def _certify_basis(u, iscx: bool):
+    """Drop structurally dead columns from a round-1 basis.
+
+    When the sketch width exceeds the block's CONTENT rank (the
+    canonical case: a zero-padded bucket block whose true min dim is
+    below ``l`` — e.g. a (129, 405) block in a (256, 512) bucket),
+    svqb's clipped tail columns are out-of-span garbage at unit norm.
+    They are mutually independent in the padded ambient space, so the
+    round-2 merge certification (which only examines ADDED columns)
+    never removes them — and they drive the DF merge's Gram exactly
+    singular, costing ~sqrt(shift) of span accuracy (the 2e-4-class
+    stream failures of the round-3 1k-block run). svqb orders columns
+    by descending eigenvalue, so the dead tail is a suffix: certify
+    with the same fast-f32 / exact-f64 Gram eigencut as ``_merge_block``
+    and slice it off.
+    """
+    lam32 = np.asarray(_gram_eigvals(u))
+    if lam32[0] > 1e-3 * lam32[-1]:
+        return u
+    c64 = np.asarray(u).astype(np.complex128 if iscx else np.float64)
+    lam = np.linalg.eigvalsh(c64.conj().T @ c64)
+    keep = max(int(np.sum(lam > 1e-12 * lam[-1])), 1)
+    return jnp.asarray(np.asarray(u)[:, :keep])
+
+
 def _merge_block(basis, u_i, iscx: bool, room: int):
     """Merge a new round's f32 block into the basis.
 
@@ -515,7 +540,7 @@ def _capture_basis_host(a: DF, key, l: int, power_iters: int,
     m, n = a.shape
     keys = jax.random.split(key, 1 + refine_rounds)
     u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
-    basis = u1
+    basis = _certify_basis(u1, iscx)
     history = []
     r = a
     u_i, w_i = u1, w1
@@ -579,7 +604,7 @@ def _capture_basis_growth(a: DF, key, tol: float, oversample: int,
 
     key, k0 = jax.random.split(key)
     u_i, w_i = _f32_round(a.hi, k0, l, power_iters)
-    basis = u_i
+    basis = _certify_basis(u_i, iscx)
     r = a
     history = []
     captured = False

@@ -420,3 +420,25 @@ class TestNsPolarComplex:
         span = (np.linalg.norm(y64 - q64 @ (q64.conj().T @ y64))
                 / np.linalg.norm(y64))
         assert span < 1e-7
+
+
+class TestPaddedFrame:
+    """Regression: a zero-padded bucket frame whose content min dim is
+    below the capture width made round 1 structurally rank-deficient —
+    svqb's garbage tail columns poisoned the DF merge for a 2e-4-class
+    miss (round-3 1k-block stream). _certify_basis trims them."""
+
+    def test_padded_block_reaches_1e8(self):
+        a = decaying_matrix(20, 129, 405, decay_rank=58)
+        pad = np.zeros((256, 512))
+        pad[:129, :405] = a
+        out = refined_rsvd(pad, jax.random.PRNGKey(20), round_rank=128,
+                           tol=1e-8)
+        assert out.residual_fro(pad) < 5e-8
+
+    def test_padded_block_growth_mode(self):
+        a = decaying_matrix(21, 133, 159, decay_rank=60)
+        pad = np.zeros((256, 256))
+        pad[:133, :159] = a
+        out = refined_rsvd(pad, jax.random.PRNGKey(21), tol=1e-8)
+        assert out.residual_fro(pad) < 5e-8

@@ -512,3 +512,29 @@ def test_on_result_streams_incrementally(key):
     assert sorted(r.index for r in seen) == list(range(5))
     assert all(r.factors.u.shape[0] == blocks[r.index].shape[0]
                for r in seen)
+
+
+def test_refined_stream_content_smaller_than_capture():
+    """Regression (round-3 1k-block run): blocks whose content min dim
+    sits below the capture width inside their padded bucket frame must
+    still hit the 1e-8 gate — they pre-route to the host pipeline at
+    their true dims instead of running structurally rank-deficient
+    captures in the padded frame."""
+    rng = np.random.default_rng(33)
+
+    def decaying(m, n, decay_rank=58):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    # content (129, 405) in a (256, 512) bucket; capture width 128+10
+    blocks = [decaying(129, 405), decaying(250, 400)]
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(33), rel_tol=1e-8, round_rank=128,
+        bucket_floor=256)
+    for r in results:
+        assert r.ok, r.error
+        assert r.rel_residual < 5e-8, (r.index, r.rel_residual)
