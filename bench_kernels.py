@@ -121,7 +121,7 @@ def measure_fused_1e8(m: int = 4096, rank_decay: int = 120,
         # constant in the program, which the tunnel's remote-compile
         # endpoint rejects above ~100 MB (HTTP 413 at 8192^2).
         def body(c, _):
-            q, b = _fused_capture(DF(c[0], c[1]), key, l=l, power_iters=2,
+            q, b = _fused_capture(DF(c[0], c[1]), key, l=l, power_iters=1,
                                   refine_rounds=1, terms=7,
                                   total=min(2 * l, m))
             return (c[0] * (1.0 + 0.0 * b.hi[0, 0]), c[1]), b.hi[0, 0]
@@ -197,13 +197,13 @@ def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
             # fast-mode NS, terms-trimmed projection split)
             aa = DF(hi, lo)
             keys = jax.random.split(key, 2)
-            u1, w1 = _f32_round(aa.hi, keys[0], l, 2)
+            u1, w1 = _f32_round(aa.hi, keys[0], l, 1)
             out = u1
             if stage >= 1:
-                r = _residual(aa, u1, w1, terms=8)
+                r = _residual(aa, u1, w1, terms=7)
                 out = r.hi
             if stage >= 2:
-                u2, w2 = _f32_round(r.hi, keys[1], l, 2)
+                u2, w2 = _f32_round(r.hi, keys[1], l, 1)
                 dq = _orthonormalize_f32(_deflate_twice(u1, u2))
                 basis = jnp.concatenate([u1, dq], axis=1)
                 out = basis

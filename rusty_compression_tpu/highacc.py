@@ -132,14 +132,14 @@ def _residual(a: DF, u1, w1, terms: int) -> DF:
 
     U1/W1 are f32, but a 5-slice split is NOT exact for them: slices
     cover bits relative to the per-fiber max, so an element 2^-e below
-    its row max keeps only ``25 - e`` of its 24 bits. 8 slices push the
-    truncation floor to 2^-40 of the row scale (terms=8 keeps the
-    dropped-pair error at the same level) — R comes out exact to
-    ~1e-12 * sigma_1, which the refined span then inherits. (A 5-slice
-    residual floors the whole pipeline at ~3e-8 * sigma_1 — the
-    regression in tests/test_highacc.py.)
+    its row max keeps only ``25 - e`` of its 24 bits. A 5-slice
+    residual floors the whole pipeline at ~3e-8 * sigma_1 (the
+    regression in tests/test_highacc.py); 7 slices put the truncation
+    floor at 2^-35 of the row scale — R exact to ~3e-11 * sigma_1,
+    measured pipeline residual 1.7-2.2e-9 (same as the earlier 8-slice
+    budget, at 28 instead of 36 pair-GEMMs over the (m, n) output).
     """
-    s = max(terms, 8)
+    s = max(terms, 7)
     us, usc = ozaki_split(df(u1), s, contract_axis=1)
     ws, wsc = ozaki_split(df(w1), s, contract_axis=0)
     p = ozaki_matmul_split(us, usc, ws, wsc, terms=s)
@@ -214,7 +214,7 @@ def _capply_right(y: DF, b: DF, terms: int, slices_b: int) -> DF:
 @functools.partial(jax.jit, static_argnames=("terms",))
 def _cresidual(a: DF, u1, w1, terms: int) -> DF:
     """Complex ``A - U1 @ W1`` (slice budget per ``_residual``)."""
-    s = max(terms, 8)
+    s = max(terms, 7)
     usp = _csplit(df(u1), s, 1)
     wsp = _csplit(df(w1), s, 0)
     return df_sub(a, _cmul_from_splits(usp, wsp, s))
@@ -455,8 +455,14 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     # rounding floor — measured span residual 1.4e-6 vs svqb's 1.4e-7
     # on a decaying-spectrum iterate, flooring the whole capture at
     # ~3e-7. The eigh is load-bearing.
+    # final_passes=2: each svqb pass contracts the iterate's condition
+    # by ~the clipping ratio (1e-5), so two passes take even a cond-1e11
+    # iterate to cond ~10 — inside the DF merge's fast-NS domain; the
+    # third pass was one more ~0.7 ms device eigh buying nothing the
+    # merge doesn't redo (accuracy gates unchanged).
     q = range_finder(DenseOperator(a_hi), key, size,
-                     power_iters=power_iters, ortho="svqb")
+                     power_iters=power_iters, ortho="svqb",
+                     final_passes=2)
     w = herm(DenseOperator(a_hi).conj_matmat(q))
     return q, w
 
@@ -546,7 +552,7 @@ def _capture_basis_host(a: DF, key, l: int, power_iters: int,
     u_i, w_i = u1, w1
     residual_fn = _cresidual if iscx else _residual
     for i in range(refine_rounds):
-        r = residual_fn(r, u_i, w_i, terms=10)
+        r = residual_fn(r, u_i, w_i, terms=7)
         history.append(float(jnp.linalg.norm(r.hi)))
         room = min(m, n) - basis.shape[1]
         if room <= 0:
@@ -615,7 +621,7 @@ def _capture_basis_growth(a: DF, key, tol: float, oversample: int,
     # contribution already lies in the span). 0.5x covers the
     # difference plus the f32 norm estimate's noise.
     while True:
-        r = residual_fn(r, u_i, w_i, terms=8)
+        r = residual_fn(r, u_i, w_i, terms=7)
         res = float(df_norm_fro(r)) / norm_a
         history.append(res)
         if res <= 0.5 * tol:
@@ -659,7 +665,7 @@ def _project_b64(a: DF, q: DF, iscx: bool, terms: int) -> np.ndarray:
 
 def refined_capture(a, key, rank: int | None = None,
                     tol: float | None = None, oversample: int = 10,
-                    power_iters: int = 2, refine_rounds: int = 1,
+                    power_iters: int = 1, refine_rounds: int = 1,
                     terms: int = DEFAULT_TERMS_PRODUCT,
                     round_rank: int | None = None,
                     fused: bool = True):
@@ -737,7 +743,7 @@ def refined_capture(a, key, rank: int | None = None,
 
 
 def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
-                 oversample: int = 10, power_iters: int = 2,
+                 oversample: int = 10, power_iters: int = 1,
                  refine_rounds: int = 1,
                  terms: int = DEFAULT_TERMS_PRODUCT,
                  round_rank: int | None = None) -> RefinedSVD:
@@ -874,10 +880,9 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         room = total - basis.shape[1]
         if room <= 0:
             break
-        # terms=8: exact residual to the ~2^-40 floor (_residual doc);
-        # the host route's terms=10 buys nothing here and the 55-vs-36
-        # slice-pair count made this the capture's costliest stage.
-        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=8)
+        # terms=7: exact residual to the ~2^-35 floor (_residual doc) —
+        # three decades under the 1e-8 target at 28 pair-GEMMs.
+        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=7)
         u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
         # The new block overlaps span(basis) (see refined_rsvd); after
         # the double deflation + svqb the merged basis's Gram condition
@@ -903,7 +908,7 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
     return q, b
 
 
-def fused_capture_flops(m: int, n: int, l: int, power_iters: int = 2,
+def fused_capture_flops(m: int, n: int, l: int, power_iters: int = 1,
                         refine_rounds: int = 1,
                         terms: int = DEFAULT_TERMS_PRODUCT) -> int:
     """MXU bf16-pass FLOPs of one fused capture (MFU accounting).
@@ -921,8 +926,8 @@ def fused_capture_flops(m: int, n: int, l: int, power_iters: int = 2,
     # f32 rounds: (2q+1) sketch GEMMs + 1 projection GEMM, each 2mnl
     # at 6 bf16 passes, plus deflation GEMMs on later rounds (small).
     flops += rounds * (2 * power_iters + 2) * 2 * m * n * l * 6
-    # Ozaki residual at slice budget max(terms, 8): s(s+1)/2 pair-GEMMs.
-    s = max(terms, 8)
+    # Ozaki residual at slice budget max(terms, 7): s(s+1)/2 pair-GEMMs.
+    s = max(terms, 7)
     flops += refine_rounds * (s * (s + 1) // 2) * 2 * m * n * l
     # NS orthonormalization (fast mode: 2 passes), gram + apply per pass.
     flops += 2 * 2 * pairs * 2 * m * total * total
@@ -933,7 +938,7 @@ def fused_capture_flops(m: int, n: int, l: int, power_iters: int = 2,
 
 def refined_rsvd_fused(a, key, rank: int | None = None,
                        tol: float | None = None, oversample: int = 10,
-                       power_iters: int = 2, refine_rounds: int = 1,
+                       power_iters: int = 1, refine_rounds: int = 1,
                        terms: int = DEFAULT_TERMS_PRODUCT,
                        round_rank: int | None = None) -> RefinedSVD:
     """``refined_rsvd`` with the capture fused into one device program.
@@ -978,7 +983,7 @@ def _fused_capture_vmapped(hi, lo, keys, l, power_iters, refine_rounds,
 
 def refined_fused_batch_begin(blocks, key, rank: int | None = None,
                               tol: float | None = None, oversample: int = 10,
-                              power_iters: int = 2, refine_rounds: int = 1,
+                              power_iters: int = 1, refine_rounds: int = 1,
                               terms: int = DEFAULT_TERMS_PRODUCT,
                               round_rank: int | None = None,
                               mesh=None, axis: str = "blocks",

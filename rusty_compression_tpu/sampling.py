@@ -100,7 +100,8 @@ def sample_range_power_iteration(op, key, k: int, p: int = 5,
 @with_precision
 def range_finder(op, key, size: int, power_iters: int = 0,
                  ortho: str = "auto", sketch_precision: str | None = None,
-                 mid_ortho: str | None = None):
+                 mid_ortho: str | None = None,
+                 final_passes: int | None = None):
     """HMT range finder: the full ``size``-column orthonormal sketch basis.
 
     The production fast path for randomized factorizations: one Gaussian
@@ -150,7 +151,7 @@ def range_finder(op, key, size: int, power_iters: int = 0,
         w = orthonormalize(w_raw, mid, passes=1)
         with sketch_ctx():
             y = op.matmat(w)
-    return orthonormalize(y, ortho)
+    return orthonormalize(y, ortho, passes=final_passes)
 
 
 # ---------------------------------------------------------------------------
