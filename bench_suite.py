@@ -441,26 +441,34 @@ def main():
                               or ["?"])[-1][:200]
             except _sp.TimeoutExpired:
                 cx_ok, cx_why = False, "probe timed out (tunnel)"
+        # Backends that reject complex dtypes outright (this tunnel
+        # returns UNIMPLEMENTED even for a c64 add) run the realified
+        # ALL-REAL route (highacc.refined_rsvd_planar); others run the
+        # complex-storage fused capture.
         if cx_ok:
             def run6c():
                 return refined_rsvd(a6c, jax.random.key(66),
                                     round_rank=k6c, tol=1e-8,
                                     refine_rounds=1)
-            out6c = run6c()  # warmup
-            t0 = time.perf_counter()
-            out6c = run6c()
-            wall6c = time.perf_counter() - t0
-            res6c = out6c.residual_fro(a6c)
-            record("6c-refined-c64-1e8", "throughput",
-                   a6c.nbytes / wall6c / 1e9, "GB/s",
-                   "rel resid <= 5e-8 (complex planar route)",
-                   res6c <= 5e-8,
-                   {"wall_s": wall6c, "rel_residual": float(res6c),
-                    "rank": out6c.rank, "block_dim": m6c})
+            route6c = "complex-storage fused"
         else:
-            record("6c-refined-c64-1e8", "throughput", 0.0, "GB/s",
-                   "backend accepts the complex fused program", False,
-                   {"skipped": cx_why})
+            def run6c():
+                return rc.refined_rsvd_planar(a6c, jax.random.key(66),
+                                              round_rank=k6c, tol=1e-8,
+                                              refine_rounds=1)
+            route6c = f"realified planar (complex dtype rejected: {cx_why[:80]})"
+        out6c = run6c()  # warmup
+        t0 = time.perf_counter()
+        out6c = run6c()
+        wall6c = time.perf_counter() - t0
+        res6c = out6c.residual_fro(a6c)
+        record("6c-refined-c64-1e8", "throughput",
+               a6c.nbytes / wall6c / 1e9, "GB/s",
+               "rel resid <= 5e-8 (c128 class)",
+               res6c <= 5e-8,
+               {"wall_s": wall6c, "rel_residual": float(res6c),
+                "rank": out6c.rank, "block_dim": m6c,
+                "route": route6c})
 
         # ---- config 7: tol-1e-8 block stream (vmapped fused batches) ----
         # The volume x accuracy cross of BASELINE config 5: a stream of

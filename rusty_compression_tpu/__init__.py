@@ -44,6 +44,7 @@ from .sampling import (
 from .highacc import (
     refined_capture,
     refined_rsvd,
+    refined_rsvd_planar,
     refined_rsvd_fused,
     refined_rsvd_fused_batch,
 )
@@ -100,7 +101,7 @@ __all__ = [
     "max_col_norm", "HMT_TOL_FACTOR",
     # high-accuracy (tol <= 1e-8) pipelines
     "refined_capture", "refined_rsvd", "refined_rsvd_fused",
-    "refined_rsvd_fused_batch",
+    "refined_rsvd_fused_batch", "refined_rsvd_planar",
     "refined_column_id", "refined_row_id", "refined_two_sided_id",
     "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils

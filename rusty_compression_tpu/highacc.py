@@ -73,6 +73,7 @@ __all__ = [
     "RefinedSVD", "refined_rsvd", "refined_rsvd_fused",
     "refined_rsvd_fused_batch", "refined_rsvd_batch", "refined_capture",
     "refined_fused_batch_begin", "refined_fused_batch_finish",
+    "refined_rsvd_planar",
     "df_cholesky_qr2", "df_project", "cdf_cholesky_qr2",
     "DEFAULT_TERMS_PRODUCT", "DEFAULT_SLICES_DF", "SLICES_F32",
 ]
@@ -1154,6 +1155,101 @@ def refined_rsvd_fused_batch(blocks, key, **kwargs) -> list[RefinedSVD]:
     """
     return refined_fused_batch_finish(
         refined_fused_batch_begin(blocks, key, **kwargs))
+
+
+def refined_rsvd_planar(a, key, rank: int | None = None,
+                        tol: float | None = None, oversample: int = 10,
+                        power_iters: int = 1, refine_rounds: int = 1,
+                        terms: int = DEFAULT_TERMS_PRODUCT,
+                        round_rank: int | None = None) -> RefinedSVD:
+    """Complex (c128-class) refined rSVD with NO complex dtype on device.
+
+    Some TPU backends reject every complex-dtype op (this repo's axon
+    tunnel returns UNIMPLEMENTED even for a c64 add), so the planar
+    Ozaki stages — which store complex DF pairs as c64 arrays — cannot
+    run there. This route keeps the device ALL-REAL:
+
+    1. **Realified capture.** The real pipeline runs unchanged on
+       ``Ar = [[Re A, -Im A], [Im A, Re A]]`` (2m, 2n). With
+       ``rho(u) = (Re u; Im u)``, ``Ar rho(v) = rho(A v)``, so
+       ``range(Ar) = rho(range_C(A))`` (a complex r-space realifies to
+       a real 2r-space) and ``sigma(Ar)`` duplicates ``sigma(A)`` —
+       relative residuals transfer one-to-one. Cost: 4x the real mn
+       work, exactly the 4-GEMM price of planar complex arithmetic.
+    2. **Complex basis recovery (host).** Every captured basis column
+       is (approximately) ``rho(u_j)`` for a range vector ``u_j``, so
+       ``q[:m] + i q[m:]`` IS that complex vector; a host c128 QR of
+       the (m, L) stack gives the complex-orthonormal ``Qc`` (L is
+       small — O(m L^2) host flops).
+    3. **Planar projection (device, real).** ``B = Qc^H A`` from four
+       real Ozaki DF products: ``Re B = Qr^T Ar + Qi^T Ai``,
+       ``Im B = Qr^T Ai - Qi^T Ar``; assembled in host c128.
+    4. Host c128 SVD of B + reference tolerance semantics; the final
+       ``U = Qc Uhat`` stays host-resident (its DF pair holds numpy
+       planes — materializing c64 on the rejecting backend would
+       throw).
+
+    The reference gets this class from LAPACK's z-kernels
+    (qr.rs:408-416); backends that DO accept complex dtypes should
+    prefer ``refined_rsvd_fused`` (planar products, complex storage).
+    """
+    a = np.ascontiguousarray(np.asarray(a), dtype=np.complex128)
+    m, n = a.shape
+    ar = np.block([[a.real, -a.imag], [a.imag, a.real]])
+    adf = df(ar)
+
+    if rank is None and round_rank is None:
+        if tol is None:
+            raise ValueError("need rank=, round_rank=, or tol=")
+        q, history, captured = _capture_basis_growth(
+            adf, key, tol, oversample, power_iters, terms)
+    else:
+        k = int(round_rank if round_rank is not None else rank)
+        # the realified rank doubles: capture 2k(+margin) real columns
+        l = min(2 * (k + int(oversample)), 2 * m, 2 * n)
+        q, history = _capture_basis_host(adf, key, l, power_iters,
+                                         refine_rounds, terms)
+        captured = False
+
+    q64 = df_to_f64(q)                       # (2m, L) real
+    uc = q64[:m] + 1j * q64[m:]              # complex range vectors
+    qc, _ = np.linalg.qr(uc)                 # host c128 orthonormal basis
+
+    # Planar device projection B = Qc^H A (real Ozaki products only).
+    qr_df = df(np.ascontiguousarray(qc.real))
+    qi_df = df(np.ascontiguousarray(qc.imag))
+    are = _split(df(np.ascontiguousarray(a.real)), _nsl(terms), 0)
+    aim = _split(df(np.ascontiguousarray(a.imag)), _nsl(terms), 0)
+    rr = df_to_f64(_project(qr_df, are[0], are[1], terms))
+    ii = df_to_f64(_project(qi_df, aim[0], aim[1], terms))
+    ri = df_to_f64(_project(qr_df, aim[0], aim[1], terms))
+    ir = df_to_f64(_project(qi_df, are[0], are[1], terms))
+    b = (rr + ii) + 1j * (ri - ir)
+
+    uh, s, vt = np.linalg.svd(b, full_matrices=False)
+    kf = s.shape[0]
+    if tol is not None:
+        below = np.nonzero(s / s[0] < tol)[0]
+        if below.size == 0:
+            if not captured:
+                raise CompressionError(
+                    f"Could not compress to relative tolerance {tol!r}")
+        else:
+            kf = int(below[0])
+    if rank is not None:
+        kf = min(kf, int(rank))
+    u = qc @ uh[:, :kf]                      # host c128 (small product)
+    u_df = df_from_c128_host(u)
+    return RefinedSVD(u_df, s[:kf], vt[:kf, :], tuple(history))
+
+
+def df_from_c128_host(x: np.ndarray) -> DF:
+    """Host-resident complex DF pair (numpy leaves — never touches the
+    device, for backends that reject complex dtypes)."""
+    x = np.asarray(x, np.complex128)
+    hi = x.astype(np.complex64)
+    lo = (x - hi.astype(np.complex128)).astype(np.complex64)
+    return DF(hi, lo)
 
 
 def refined_rsvd_batch(blocks, key, **kwargs) -> list[RefinedSVD]:

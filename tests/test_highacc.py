@@ -442,3 +442,43 @@ class TestPaddedFrame:
         pad[:133, :159] = a
         out = refined_rsvd(pad, jax.random.PRNGKey(21), tol=1e-8)
         assert out.residual_fro(pad) < 5e-8
+
+
+class TestPlanarComplex:
+    """Complex capture with NO complex dtype on device (realified
+    pipeline + planar projection) — the route for TPU backends that
+    reject c64 ops outright (this repo's tunnel does, even for adds)."""
+
+    def _cmatrix(self, seed, m, n, decay_rank=60):
+        rng = np.random.default_rng(seed)
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k))
+                            + 1j * rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k))
+                            + 1j * rng.standard_normal((n, k)))
+        return (u * sig) @ v.conj().T
+
+    def test_reaches_1e8_class(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_planar
+
+        a = self._cmatrix(0, 256, 200)
+        out = refined_rsvd_planar(a, jax.random.PRNGKey(0), round_rank=70,
+                                  tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
+        # rank at the spectrum's crossing (i = 48 for decay_rank 60)
+        assert 46 <= out.rank <= 52
+        # factors are host-resident (never materialize c64 on device)
+        assert isinstance(out.u.hi, np.ndarray)
+        u64 = df_to_f64(out.u)
+        assert np.abs(np.conj(u64.T) @ u64
+                      - np.eye(out.rank)).max() < 1e-7
+
+    def test_growth_mode(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_planar
+
+        a = self._cmatrix(1, 200, 160, decay_rank=40)
+        out = refined_rsvd_planar(a, jax.random.PRNGKey(1), tol=1e-8)
+        assert out.residual_fro(a) < 5e-8
+        assert 30 <= out.rank <= 38
