@@ -436,7 +436,8 @@ def _gram_eigvals(d):
 
 
 @with_precision
-def _f32_round(a_hi, key, size: int, power_iters: int):
+def _f32_round(a_hi, key, size: int, power_iters: int,
+               final_passes: int = 3, svd_lift: bool = False):
     """One fast-pipeline round: f32 range finder + projection.
 
     Returns ``(u, w) = (Q, Q^H A)`` — the f32 rank-``size``
@@ -456,15 +457,30 @@ def _f32_round(a_hi, key, size: int, power_iters: int):
     # rounding floor — measured span residual 1.4e-6 vs svqb's 1.4e-7
     # on a decaying-spectrum iterate, flooring the whole capture at
     # ~3e-7. The eigh is load-bearing.
-    # final_passes=2: each svqb pass contracts the iterate's condition
-    # by ~the clipping ratio (1e-5), so two passes take even a cond-1e11
-    # iterate to cond ~10 — inside the DF merge's fast-NS domain; the
-    # third pass was one more ~0.7 ms device eigh buying nothing the
-    # merge doesn't redo (accuracy gates unchanged).
+    # final_passes=3 (round-4 regression fix): with only 2 passes the
+    # round basis Q keeps ~1e-5-class orthogonality error in its weak
+    # directions under TPU 6-pass-bf16 GEMMs, so the Ozaki residual
+    # R = A - Q(Q^H A) carries ~1e-5*sigma_weak of IN-SPAN
+    # contamination; round 2 then spends its capacity re-capturing
+    # span(Q) instead of the genuinely missing directions, flooring the
+    # capture at 3.6e-8..2.4e-7 (the round-3 config-6/7 TPU gate
+    # failures — deterministic per key: key 8 reproduces the recorded
+    # 1.30e-7 exactly). The third pass polishes Q to the f32 floor and
+    # restores the steady 8.7e-9 class (A/B over keys 8/81/82 at 4096^2
+    # on TPU, 2026-08-19); its cost is one ~0.7 ms (l, l) eigh per
+    # round — noise next to the tunnel wall. CPU tests cannot see any
+    # of this (exact f32 GEMMs), which is how the trim slipped through.
     q = range_finder(DenseOperator(a_hi), key, size,
                      power_iters=power_iters, ortho="svqb",
-                     final_passes=2)
+                     final_passes=final_passes)
     w = herm(DenseOperator(a_hi).conj_matmat(q))
+    if svd_lift:
+        # Recompose the sketch SVD (the pre-round-3 round shape): same
+        # span, but U comes out with near-exactly-orthonormal columns
+        # aligned to the local spectrum — an A/B knob for the capture
+        # margin (VERDICT r3 weak #1).
+        uh, s, vt = jnp.linalg.svd(w, full_matrices=False)
+        return q @ uh, s[:, None] * vt
     return q, w
 
 
@@ -655,6 +671,25 @@ def _capture_basis_growth(a: DF, key, tol: float, oversample: int,
     return q, tuple(history), captured
 
 
+def _capture_rel_resid(a: DF, q: DF, b: DF, iscx: bool, terms: int) -> float:
+    """Exact (DF/Ozaki) relative capture residual ``||A - Q B||_F /
+    ||A||_F`` — the self-verification probe for fixed-round captures.
+
+    The growth capture tracks this recurrence by construction; the
+    fixed-round fused capture does not, so a backend whose GEMM
+    numerics drift between sessions (observed on this tunnel: identical
+    programs landed at 8.8e-9 in one window and 1.3e-7 in another
+    before the round-4 svqb fix) can silently spend the margin. Three
+    extra dispatches of already-jitted stages (~30% of one capture).
+    """
+    if iscx:
+        p = _capply_right(q, b, terms, _nsl(terms))
+    else:
+        p = _apply_right(q, b, terms, _nsl(terms))
+    r = df_sub(a, p)
+    return float(df_norm_fro(r)) / float(df_norm_fro(a))
+
+
 def _project_b64(a: DF, q: DF, iscx: bool, terms: int) -> np.ndarray:
     """Host f64/c128 core ``B = Q^H A`` via the Ozaki projection."""
     if iscx:
@@ -669,7 +704,9 @@ def refined_capture(a, key, rank: int | None = None,
                     power_iters: int = 1, refine_rounds: int = 1,
                     terms: int = DEFAULT_TERMS_PRODUCT,
                     round_rank: int | None = None,
-                    fused: bool = True):
+                    fused: bool = True, ns_mode: str = "fast",
+                    residual_terms: int = 7, final_passes: int = 3,
+                    svd_lift: bool = False, verify: bool = False):
     """DF-orthonormal range basis + f64 core of ``a`` (the capture).
 
     The shared front half of every high-accuracy factorization: the
@@ -722,10 +759,32 @@ def refined_capture(a, key, rank: int | None = None,
         try:
             q, b = _fused_capture(a, key, l=l, power_iters=power_iters,
                                   refine_rounds=refine_rounds, terms=terms,
-                                  total=total)
+                                  total=total, ns_mode=ns_mode,
+                                  residual_terms=residual_terms,
+                                  final_passes=final_passes,
+                                  svd_lift=svd_lift)
             # Materialize inside the guard: dispatch is async, so
             # backend rejections surface at the first fetch.
-            return q, df_to_f64(b), (), True
+            b64 = df_to_f64(b)
+            if verify and tol is not None:
+                # Self-verified capture: measure the exact DF residual;
+                # on a miss (>2.5x tol — half the 5x accuracy gate),
+                # discover the rank with the growth capture instead of
+                # trusting the fixed-round result (backend-drift and
+                # under-capacity insurance; see _capture_rel_resid).
+                rel = _capture_rel_resid(a, q, b, iscx, terms)
+                if rel <= 2.5 * tol:
+                    # captured=True only when the measured residual is
+                    # at tol itself (authorizes _finish_core's keep-all
+                    # path); (tol, 2.5 tol] passes the 5x gate but keeps
+                    # the reference's strict unreachable-tolerance error.
+                    return q, b64, (rel,), rel <= tol
+                q, history, captured = _capture_basis_growth(
+                    a, jax.random.fold_in(key, 0x5EED), tol, oversample,
+                    power_iters, terms)
+                return (q, _project_b64(a, q, iscx, terms),
+                        (rel, *history), captured)
+            return q, b64, (), True
         except jax.errors.JaxRuntimeError as ex:
             # Environmental: the tunneled AOT compile helper
             # intermittently drops large programs ("response body
@@ -851,9 +910,13 @@ def _deflate_twice(basis, u):
 
 @functools.partial(jax.jit, static_argnames=("l", "power_iters",
                                              "refine_rounds", "terms",
-                                             "total"))
+                                             "total", "ns_mode",
+                                             "residual_terms",
+                                             "final_passes", "svd_lift"))
 def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
-                   terms: int, total: int):
+                   terms: int, total: int, ns_mode: str = "fast",
+                   residual_terms: int = 7, final_passes: int = 3,
+                   svd_lift: bool = False):
     """The whole high-accuracy capture as ONE XLA program.
 
     f32 HMT rounds, the Ozaki DF residual, the deflate/svqb merge, the
@@ -873,7 +936,8 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
 
     iscx = jnp.iscomplexobj(a.hi)
     keys = jax.random.split(key, 1 + refine_rounds)
-    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters)
+    u1, w1 = _f32_round(a.hi, keys[0], l, power_iters,
+                        final_passes=final_passes, svd_lift=svd_lift)
     basis = u1
     r = a
     u_i, w_i = u1, w1
@@ -881,10 +945,13 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         room = total - basis.shape[1]
         if room <= 0:
             break
-        # terms=7: exact residual to the ~2^-35 floor (_residual doc) —
-        # three decades under the 1e-8 target at 28 pair-GEMMs.
-        r = (_cresidual if iscx else _residual)(r, u_i, w_i, terms=7)
-        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters)
+        # residual_terms=7: exact residual to the ~2^-35 floor
+        # (_residual doc) — three decades under the 1e-8 target at 28
+        # pair-GEMMs (8 is the pre-round-3 margin setting).
+        r = (_cresidual if iscx else _residual)(r, u_i, w_i,
+                                                terms=residual_terms)
+        u_i, w_i = _f32_round(r.hi, keys[1 + i], l, power_iters,
+                              final_passes=final_passes, svd_lift=svd_lift)
         # The new block overlaps span(basis) (see refined_rsvd); after
         # the double deflation + svqb the merged basis's Gram condition
         # sits around 1e2-1e4 — inside df_orthonormalize_ns's domain.
@@ -900,7 +967,7 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
     # scheduler's per-block f64 verification + host-route fallback
     # covers any pathological merge this misjudges.
     q = df_orthonormalize_ns(DF(basis, jnp.zeros_like(basis)), terms=terms,
-                             mode="fast")
+                             mode=ns_mode)
     if iscx:
         b = _cproject(q, _csplit(a, _nsl(terms), 0), terms)
     else:
@@ -941,7 +1008,10 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
                        tol: float | None = None, oversample: int = 10,
                        power_iters: int = 1, refine_rounds: int = 1,
                        terms: int = DEFAULT_TERMS_PRODUCT,
-                       round_rank: int | None = None) -> RefinedSVD:
+                       round_rank: int | None = None,
+                       ns_mode: str = "fast", residual_terms: int = 7,
+                       final_passes: int = 3, svd_lift: bool = False,
+                       verify: bool = False) -> RefinedSVD:
     """``refined_rsvd`` with the capture fused into one device program.
 
     Identical semantics and accuracy class for the common case
@@ -952,16 +1022,31 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
     to ``refined_rsvd`` for the saturated-tall direct route and the
     tol-only growth capture (both need data-dependent host logic) and
     on tunneled-compile failures.
+
+    ``verify=True`` (with ``tol``) self-checks the capture: the exact
+    DF residual ``||A - Q B||/||A||`` is measured on device (~30% of
+    one capture) and a miss of the 2.5x-tol line triggers the growth
+    capture as repair — insurance against backend numerics drift and
+    under-capacity ``round_rank`` (the round-3 TPU gate failures'
+    shape). The accuracy knobs (``ns_mode``, ``residual_terms``,
+    ``final_passes``, ``svd_lift``) default to the measured
+    fastest-with->=5x-margin settings; see ``_f32_round``.
     """
     a = df(a) if not isinstance(a, DF) else a
     iscx = jnp.iscomplexobj(a.hi)
     q, b64, history, captured = refined_capture(
         a, key, rank=rank, tol=tol, oversample=oversample,
         power_iters=power_iters, refine_rounds=refine_rounds, terms=terms,
-        round_rank=round_rank, fused=True)
+        round_rank=round_rank, fused=True, ns_mode=ns_mode,
+        residual_terms=residual_terms, final_passes=final_passes,
+        svd_lift=svd_lift, verify=verify)
+    # In plain fixed-round mode `captured` is vacuous (always True);
+    # mask it so the strict unreachable-tolerance error stands. With
+    # verify= the flag is a measured statement (DF residual <= tol) and
+    # passes through.
     return _finish_core(q, b64, iscx, terms, tol, rank, history,
-                        captured=captured and round_rank is None
-                        and rank is None)
+                        captured=captured and (verify or (
+                            round_rank is None and rank is None)))
 
 
 @functools.partial(jax.jit, static_argnames=("l", "power_iters",

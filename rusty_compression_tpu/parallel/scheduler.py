@@ -318,7 +318,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     chunk's packing + device capture overlap the current chunk's host
     tail (batched f64 SVD + per-block f64 verification). Any block
     missing the 5x gate re-runs through the host-orchestrated
-    ``refined_rsvd`` (exact-Gram independence handling); a block whose
+    ``refined_rsvd`` (exact-Gram independence handling); a second miss
+    re-runs with ``tol`` alone — the growth capture DISCOVERS the rank
+    (reference adaptive-sampler semantics, random_sampling.rs:202-282),
+    so a block whose true rank exceeds the fixed-round capacity
+    ``round_rank * (1 + refine_rounds)`` still lands at tolerance
+    instead of being recorded failed. A block whose
     tolerance is genuinely unreachable is CONTAINED — recorded with
     ``error`` set and full-rank factors — instead of killing the stream
     (SURVEY §5 elastic recovery; the reference errors per matrix,
@@ -398,35 +403,64 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             else:
                 err = np.inf  # force the host path below
             w, dev_w = wall, dev_block
-            failure = None if (out.tol_ok or pre_routed) else (
-                f"tolerance {rel_tol!r} unreachable (full-rank capture "
-                f"recorded)")
-            if err > 5 * rel_tol and failure is None:
-                # Host-orchestrated fallback on the UNPADDED block:
-                # exact-Gram independence logic, with the capture width
-                # clamped by the block's true dims (a padded frame hides
-                # structural rank deficiency from the f32 rounds — the
-                # 2e-4-class misses of the first 1k-block stream run).
-                # A genuinely unreachable tolerance is contained.
+            failure = None
+            if pre_routed or (out.tol_ok and err > 5 * rel_tol):
+                # First fallback, host-orchestrated on the UNPADDED
+                # block: exact-Gram independence logic, with the capture
+                # width clamped by the block's true dims (a padded frame
+                # hides structural rank deficiency from the f32 rounds —
+                # the 2e-4-class misses of the first 1k-block stream
+                # run). Unreachable tolerances fall through to growth.
                 t0f = time.perf_counter()
                 try:
                     out = refined_rsvd(b, keys[i],
                                        round_rank=round_rank,
                                        tol=rel_tol, **kwargs)
+                    u64, s64, vt64 = out.to_f64()
+                    rec = u64 @ (s64[:, None] * vt64)
+                    err = float(np.linalg.norm(rec - b)
+                                / np.linalg.norm(b))
+                except CompressionError:
+                    pass  # growth fallback decides
+                w += time.perf_counter() - t0f
+                dev_w += time.perf_counter() - t0f
+            if not out.tol_ok or err > 5 * rel_tol:
+                # Second fallback: the fixed-round capacity
+                # (round_rank * (1 + refine_rounds)) may simply sit
+                # below the block's true rank at this tolerance — the
+                # vmapped capture then comes back tol_ok=False (no
+                # projected singular value dips below tol). Let the
+                # growth capture DISCOVER the rank (refined_rsvd with
+                # tol alone — the reference's adaptive-sampler
+                # semantics, random_sampling.rs:202-282) before
+                # declaring the block failed. A genuinely unreachable
+                # tolerance is CONTAINED: the error is recorded and the
+                # best capture's full-rank factors are kept.
+                t0g = time.perf_counter()
+                try:
+                    out = refined_rsvd(
+                        b, jax.random.fold_in(keys[i], 1), tol=rel_tol,
+                        **{k_: v_ for k_, v_ in kwargs.items()
+                           if k_ != "refine_rounds"})
                 except CompressionError as ex:
-                    failure = str(ex)
-                    # containment: record the full-rank capture instead
+                    failure = (f"tolerance {rel_tol!r} unreachable "
+                               f"(growth capture: {ex}; full-rank "
+                               f"capture recorded)")
+                    # containment factors: the full-rank fixed-round
+                    # capture of the UNPADDED block (never raises — no
+                    # tol), not the padded/filler vmapped output.
                     out = refined_rsvd(b, keys[i],
                                        round_rank=round_rank, **kwargs)
                 u64, s64, vt64 = out.to_f64()
+                u64, vt64 = u64[:m, :], vt64[:, :n]
                 rec = u64 @ (s64[:, None] * vt64)
                 err = float(np.linalg.norm(rec - b)
                             / np.linalg.norm(b))
-                w += time.perf_counter() - t0f
-                dev_w += time.perf_counter() - t0f
+                w += time.perf_counter() - t0g
+                dev_w += time.perf_counter() - t0g
             if failure is None and err > 5 * rel_tol:
                 failure = (f"residual {err:.3e} missed the 5x{rel_tol:g} "
-                           "gate after fallback")
+                           "gate after fixed-round and growth fallbacks")
             results[i] = BlockResult(
                 index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
                 rel_residual=err, wall_time_s=w,

@@ -375,6 +375,49 @@ class TestRefinedRSVDFused:
                                  tol=1e-8, refine_rounds=1)
         assert 44 <= out.rank <= 50, out.rank
         assert out.residual_fro(a) < 5e-8
+
+
+class TestVerifiedCapture:
+    """Self-verified fused capture (``verify=True``): the exact DF
+    capture residual is measured on device and a miss repairs through
+    the growth capture — insurance against backend numerics drift (the
+    round-3 TPU gate failures: identical programs landed at 8.8e-9 or
+    1.3e-7 depending on the session) and under-capacity round_rank."""
+
+    def test_verified_pass_records_residual(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix(20, 384, 384)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(20),
+                                 round_rank=110, tol=1e-8, verify=True)
+        # history[0] is the measured DF capture residual
+        assert out.history and out.history[0] <= 2.5e-8
+        assert out.residual_fro(a) < 5e-8
+
+    def test_under_capacity_repairs_via_growth(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        # Fixed capacity 2*(24+10) = 68 < the spectrum's 1e-8 crossing
+        # (rank 80): unverified this raises (no projected singular value
+        # dips below tol); verify=True measures the miss and repairs by
+        # rank discovery.
+        a = decaying_matrix(21, 384, 384)
+        with pytest.raises(CompressionError):
+            refined_rsvd_fused(a, jax.random.PRNGKey(21), round_rank=24,
+                               tol=1e-8)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(21), round_rank=24,
+                                 tol=1e-8, verify=True)
+        assert 78 <= out.rank <= 82, out.rank
+        assert out.residual_fro(a) < 5e-8
+        # history: measured miss first, then the growth rounds
+        assert out.history[0] > 2.5e-8
+        assert len(out.history) >= 2
+
+    def test_complex_verified_pass(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused
+        a = decaying_matrix_c(22, 256, 256, decay_rank=60)
+        out = refined_rsvd_fused(a, jax.random.PRNGKey(22), round_rank=66,
+                                 tol=1e-8, verify=True)
+        assert out.history and out.history[0] <= 2.5e-8
+        assert out.residual_fro(a) < 5e-8
         u64 = df_to_f64(out.u)
         assert u64.dtype == np.complex128
         g = u64.conj().T @ u64
