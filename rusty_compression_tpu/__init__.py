@@ -14,8 +14,9 @@ surface (rusty-compression ``lib.rs:90-102``).
 """
 
 from .linop import (AdjointOperator, CompositeOperator, DenseOperator,
-                    FactoredOperator, LinearOperator, ScaledOperator,
-                    SparseOperator, SumOperator, as_linear_operator)
+                    FactoredOperator, FunctionOperator, LinearOperator,
+                    ScaledOperator, SparseOperator, SumOperator,
+                    as_linear_operator)
 from .config import CompressionConfig, compress
 from .models.compression import Adaptive, CompressionType, Rank
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
@@ -84,8 +85,9 @@ __version__ = "0.1.0"
 __all__ = [
     # operators
     "LinearOperator", "DenseOperator", "FactoredOperator",
-    "CompositeOperator", "SumOperator", "ScaledOperator",
-    "AdjointOperator", "SparseOperator", "as_linear_operator",
+    "FunctionOperator", "CompositeOperator", "SumOperator",
+    "ScaledOperator", "AdjointOperator", "SparseOperator",
+    "as_linear_operator",
     # containers & conversions
     "QR", "LQ", "SVD", "ColumnID", "RowID", "TwoSidedID",
     # compression config

@@ -95,6 +95,26 @@ def _nsl(terms: int) -> int:
     return min(DEFAULT_SLICES_DF, terms)
 
 
+def _as_df(a) -> DF:
+    """Coerce the input of a high-accuracy entry point to ``DF``.
+
+    Accepts host f64/c128 arrays, device ``DF`` pairs, and
+    ``LinearOperator``s. Operators are MATERIALIZED (``to_dense``): the
+    Ozaki residual recurrence ``R = A - U W`` needs A's entries — a
+    matrix-free high-accuracy path would need DF-accurate operator
+    products, which a plain f32 closure cannot supply (the reference
+    has no analogue either: its f64 path densifies through ``matmat``
+    against identity-like probes, types.rs:60-71).
+    """
+    if isinstance(a, DF):
+        return a
+    from .linop import LinearOperator
+
+    if isinstance(a, LinearOperator):
+        a = np.asarray(jax.device_get(a.to_dense()))
+    return df(a)
+
+
 def _tri_inv(r64: np.ndarray) -> np.ndarray:
     """f64 inverse of a small upper-triangular matrix (host LAPACK)."""
     return np.linalg.solve(r64, np.eye(r64.shape[0], dtype=np.float64))
@@ -725,7 +745,7 @@ def refined_capture(a, key, rank: int | None = None,
     residual provably crossed ``tol`` (always True in fixed-round mode —
     the caller's tolerance truncation re-checks against the spectrum).
     """
-    a = df(a) if not isinstance(a, DF) else a
+    a = _as_df(a)
     iscx = jnp.iscomplexobj(a.hi)
     m, n = a.shape
 
@@ -835,7 +855,7 @@ def refined_rsvd(a, key, rank: int | None = None, tol: float | None = None,
     Returns a ``RefinedSVD``; ``history`` holds the estimated residual
     after each round (f32-norm estimates, diagnostic only).
     """
-    a = df(a) if not isinstance(a, DF) else a
+    a = _as_df(a)
     iscx = jnp.iscomplexobj(a.hi)
     if rank is None and round_rank is None:
         if tol is None:
@@ -1032,7 +1052,7 @@ def refined_rsvd_fused(a, key, rank: int | None = None,
     ``final_passes``, ``svd_lift``) default to the measured
     fastest-with->=5x-margin settings; see ``_f32_round``.
     """
-    a = df(a) if not isinstance(a, DF) else a
+    a = _as_df(a)
     iscx = jnp.iscomplexobj(a.hi)
     q, b64, history, captured = refined_capture(
         a, key, rank=rank, tol=tol, oversample=oversample,

@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from .utils.dtypes import herm
 
 __all__ = ["LinearOperator", "DenseOperator", "FactoredOperator",
-           "CompositeOperator", "SumOperator", "ScaledOperator",
-           "AdjointOperator", "SparseOperator", "as_linear_operator"]
+           "FunctionOperator", "CompositeOperator", "SumOperator",
+           "ScaledOperator", "AdjointOperator", "SparseOperator",
+           "as_linear_operator"]
 
 
 class LinearOperator:
@@ -187,6 +188,76 @@ class FactoredOperator(LinearOperator):
     def tree_unflatten(cls, aux, children):
         (factors,) = children
         return cls(factors)
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionOperator(LinearOperator):
+    """Operator from user ``matvec`` closures — the reference's MINIMUM
+    protocol (``types.rs:40-51``: implement ``MatVec``, get ``MatMat``
+    free via the blanket impl at ``types.rs:145-146``).
+
+    This completes the protocol inversion both ways: the library's
+    algorithms are written against ``matmat`` (one big GEMM — MXU
+    shaped), and a user who only has a matvec closure gets ``matmat``
+    derived here by ``jax.vmap`` over the columns of ``X`` — XLA then
+    batches/fuses the vmapped closure into one program, instead of the
+    reference's sequential per-column loop (``types.rs:60-71,90-101``).
+
+    ``conj_matvec`` is optional (mirroring the reference, where
+    ``ConjMatVec`` is a separate trait): without it the operator
+    supports ``sample_range_by_rank`` and plain products; power
+    iteration, adaptive sampling, and the range-estimate factorizations
+    need the adjoint and raise a named error if it is missing.
+
+    The closures must be jax-traceable (they run under ``jit`` /
+    ``vmap`` / ``lax.while_loop``).
+    """
+
+    def __init__(self, matvec, shape, dtype=None, conj_matvec=None):
+        self._matvec = matvec
+        self._conj_matvec = conj_matvec
+        self._shape = (int(shape[0]), int(shape[1]))
+        self._dtype = jnp.dtype(dtype) if dtype is not None else jnp.dtype(
+            jnp.float32)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def conj_matvec(self, x):
+        if self._conj_matvec is None:
+            raise NotImplementedError(
+                "FunctionOperator was built without conj_matvec; power "
+                "iteration, adaptive sampling, and the range-estimate "
+                "factorizations need the adjoint action A^H x")
+        return self._conj_matvec(x)
+
+    def matmat(self, x):
+        return jax.vmap(self._matvec, in_axes=1, out_axes=1)(x)
+
+    def conj_matmat(self, x):
+        if self._conj_matvec is None:
+            self.conj_matvec(x[:, 0])  # raise the named error
+        return jax.vmap(self._conj_matvec, in_axes=1, out_axes=1)(x)
+
+    # pytree protocol: the closures are static metadata (hashable by
+    # identity — jit caches per closure instance), no array children.
+    def tree_flatten(self):
+        return (), (self._matvec, self._conj_matvec, self._shape,
+                    self._dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj._matvec, obj._conj_matvec, obj._shape, obj._dtype) = aux
+        return obj
 
 
 def as_linear_operator(op) -> LinearOperator:

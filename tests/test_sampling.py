@@ -334,3 +334,59 @@ def test_sketch_precision_knob():
     expected = 10 ** (-3 * 40 / 191)
     for sp, err in outs.items():
         assert err < 5 * expected, (sp, err, expected)
+
+
+class TestFunctionOperator:
+    """matvec-only operators (the reference's minimum protocol,
+    types.rs:40-51): matmat is derived by vmap over columns (the
+    inversion of the reference's per-column loop, types.rs:60-71),
+    and everything downstream — fixed-rank, power-iteration, adaptive
+    sampling, range-estimate factorizations — flows through."""
+
+    def _op(self, key, m=150, n=100, with_adjoint=True):
+        a = rc.random_approximate_low_rank_matrix(key, (m, n), 1.0, 1e-10)
+        cm = (lambda x: jnp.conj(a).T @ x) if with_adjoint else None
+        return a, rc.FunctionOperator(lambda x: a @ x, (m, n),
+                                      dtype=a.dtype, conj_matvec=cm)
+
+    def test_matmat_matches_dense(self, key):
+        a, op = self._op(key)
+        x = jax.random.normal(jax.random.key(1), (100, 7), a.dtype)
+        np.testing.assert_allclose(np.asarray(op.matmat(x)),
+                                   np.asarray(a @ x), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(op.conj_matmat(a @ x)),
+                                   np.asarray(a.T @ (a @ x)), rtol=1e-5)
+
+    def test_fixed_rank_sampling_matvec_only(self, key):
+        # no adjoint required for the plain ranged sampler
+        a, op = self._op(key, with_adjoint=False)
+        q = rc.sample_range_by_rank(op, jax.random.key(2), 30)
+        proj = q @ (jnp.conj(q).T @ a)
+        err = float(jnp.linalg.norm(a - proj) / jnp.linalg.norm(a))
+        assert err < 5 * 10 ** (-10 * 30 / 99)
+
+    def test_adaptive_sampling_and_range_estimate(self, key):
+        a, op = self._op(key)
+        q, residuals = rc.sample_range_adaptive(
+            op, jax.random.key(3), 1e-5, sample_size=10)
+        assert residuals[-1][1] < 1e-5
+        svd = rc.SVD.compute_from_range_estimate(q, op)
+        rec = svd.to_mat()
+        err = float(jnp.linalg.norm(a - rec) / jnp.linalg.norm(a))
+        assert err < 5e-5
+
+    def test_power_iteration(self, key):
+        a, op = self._op(key)
+        q = rc.sample_range_power_iteration(op, jax.random.key(4), 30,
+                                            it_count=2)
+        proj = q @ (jnp.conj(q).T @ a)
+        err = float(jnp.linalg.norm(a - proj) / jnp.linalg.norm(a))
+        assert err < 5 * 10 ** (-10 * 30 / 99)
+
+    def test_missing_adjoint_raises_named_error(self, key):
+        _, op = self._op(key, with_adjoint=False)
+        with pytest.raises(NotImplementedError, match="conj_matvec"):
+            op.conj_matmat(jnp.ones((150, 3)))
+        with pytest.raises(NotImplementedError, match="conj_matvec"):
+            rc.sample_range_adaptive(op, jax.random.key(5), 1e-5,
+                                     sample_size=10)
