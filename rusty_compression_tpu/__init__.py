@@ -49,6 +49,13 @@ from .highacc import (
     refined_rsvd_fused,
     refined_rsvd_fused_batch,
 )
+from .planarc import (
+    planar_range_capture,
+    planar_rsvd,
+    planar_column_id,
+    planar_row_id,
+    planar_two_sided_id,
+)
 from .highacc_id import (
     refined_column_id,
     refined_row_id,
@@ -105,6 +112,8 @@ __all__ = [
     "refined_capture", "refined_rsvd", "refined_rsvd_fused",
     "refined_rsvd_fused_batch", "refined_rsvd_planar",
     "refined_column_id", "refined_row_id", "refined_two_sided_id",
+    "planar_range_capture", "planar_rsvd", "planar_column_id",
+    "planar_row_id", "planar_two_sided_id",
     "orthonormalize", "cholesky_qr", "cholesky_qr2", "shifted_cholesky_qr3",
     # utils
     "rel_diff_fro", "rel_diff_l2",
