@@ -445,30 +445,91 @@ def main():
         # returns UNIMPLEMENTED even for a c64 add) run the realified
         # ALL-REAL route (highacc.refined_rsvd_planar); others run the
         # complex-storage fused capture.
-        if cx_ok:
-            def run6c():
-                return refined_rsvd(a6c, jax.random.key(66),
-                                    round_rank=k6c, tol=1e-8,
-                                    refine_rounds=1)
-            route6c = "complex-storage fused"
+        def run6c_fused():
+            return refined_rsvd(a6c, jax.random.key(66),
+                                round_rank=k6c, tol=1e-8,
+                                refine_rounds=1)
+
+        def run6c_planar():
+            return rc.refined_rsvd_planar(a6c, jax.random.key(66),
+                                          round_rank=k6c, tol=1e-8,
+                                          refine_rounds=1)
+
+        # Route order from the probe, but NEVER crash the suite on a
+        # route failure: fall back to the other route, and on a double
+        # failure record a STRUCTURED skip (config 6c round-3 weakness:
+        # raw tracebacks in the record + the crash losing config 7).
+        routes6c = ([("complex-storage fused", run6c_fused),
+                     ("realified planar", run6c_planar)] if cx_ok else
+                    [(f"realified planar (complex rejected: "
+                      f"{cx_why[:60]})", run6c_planar),
+                     ("complex-storage fused", run6c_fused)])
+        skip6c = []
+        for route6c, run6c in routes6c:
+            try:
+                out6c = run6c()  # warmup
+                t0 = time.perf_counter()
+                out6c = run6c()
+                wall6c = time.perf_counter() - t0
+                res6c = out6c.residual_fro(a6c)
+                record("6c-refined-c64-1e8", "throughput",
+                       a6c.nbytes / wall6c / 1e9, "GB/s",
+                       "rel resid <= 5e-8 (c128 class)",
+                       res6c <= 5e-8,
+                       {"wall_s": wall6c, "rel_residual": float(res6c),
+                        "rank": out6c.rank, "block_dim": m6c,
+                        "route": route6c})
+                break
+            except Exception as ex:  # noqa: BLE001 — recorded, not lost
+                skip6c.append({"route": route6c.split(" (")[0],
+                               "type": type(ex).__name__,
+                               "detail": str(ex).splitlines()[0][:160]
+                               if str(ex) else ""})
         else:
-            def run6c():
-                return rc.refined_rsvd_planar(a6c, jax.random.key(66),
-                                              round_rank=k6c, tol=1e-8,
-                                              refine_rounds=1)
-            route6c = f"realified planar (complex dtype rejected: {cx_why[:80]})"
-        out6c = run6c()  # warmup
-        t0 = time.perf_counter()
-        out6c = run6c()
-        wall6c = time.perf_counter() - t0
-        res6c = out6c.residual_fro(a6c)
-        record("6c-refined-c64-1e8", "throughput",
-               a6c.nbytes / wall6c / 1e9, "GB/s",
-               "rel resid <= 5e-8 (c128 class)",
-               res6c <= 5e-8,
-               {"wall_s": wall6c, "rel_residual": float(res6c),
-                "rank": out6c.rank, "block_dim": m6c,
-                "route": route6c})
+            record("6c-refined-c64-1e8", "skipped", 0.0, "",
+                   "rel resid <= 5e-8 (c128 class)", False,
+                   {"skip": skip6c, "block_dim": m6c})
+
+        # ---- config 6s: STANDARD-class (f32) c64 two-sided ID on TPU -------
+        # The planar container route (planarc.py): realified all-real
+        # device capture + host complex core — the reference's c-kernel
+        # container class (qr.rs:408-416) on a complex-rejecting chip.
+        # Reuses the 6c fixture; bytes counted at the input's c64 width.
+        try:
+            # rank inside the f32 capture floor: sigma(k6s) ~ 1e-4.5
+            k6s = max(8, int(0.45 * dk6c))
+            a6s = a6c.astype(np.complex64)
+
+            def run6s():
+                return rc.planar_two_sided_id(a6s, jax.random.key(67),
+                                              rank=k6s)
+
+            ts6s = run6s()  # warmup (device capture programs)
+            t0 = time.perf_counter()
+            ts6s = run6s()
+            wall6s = time.perf_counter() - t0
+            k6s = ts6s.rank  # numerical-rank clamp may trim
+            rec6s = np.asarray(ts6s.to_mat())
+            err6s = float(np.linalg.norm(rec6s - a6s)
+                          / np.linalg.norm(a6s))
+            skel = a6s[np.ix_(np.asarray(ts6s.row_ind)[:k6s],
+                              np.asarray(ts6s.col_ind)[:k6s])]
+            skel_err = float(np.abs(np.asarray(ts6s.x) - skel).max()
+                             / max(np.abs(skel).max(), 1e-30))
+            record("6s-planar-c64-two-sided-id", "throughput",
+                   a6s.nbytes / wall6s / 1e9, "GB/s",
+                   "rel err <= 5e-4 & skeleton entrywise <= 1e-3 (f32 "
+                   "class, device all-real)",
+                   err6s <= 5e-4 and skel_err <= 1e-3,
+                   {"wall_s": wall6s, "rel_err": err6s,
+                    "skeleton_err": skel_err, "rank": k6s,
+                    "block_dim": m6c})
+        except Exception as ex:  # noqa: BLE001 — recorded, not lost
+            record("6s-planar-c64-two-sided-id", "skipped", 0.0, "",
+                   "rel err <= 5e-4 (f32 class)", False,
+                   {"skip": [{"type": type(ex).__name__,
+                              "detail": str(ex).splitlines()[0][:160]
+                              if str(ex) else ""}]})
 
         # ---- config 7: tol-1e-8 block stream (vmapped fused batches) ----
         # The volume x accuracy cross of BASELINE config 5: a stream of

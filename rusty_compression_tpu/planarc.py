@@ -147,8 +147,13 @@ def _np_qrcp(b: np.ndarray, k: int):
     non-increasing ``|r_jj|``, 0-based full-length pivot vector.
     Returns ``(q, r, ind)`` with ``q`` (l, k), ``r`` (k, n) upper
     triangular over the permuted columns, ``b[:, ind] ~= q r``.
+
+    Runs in c128 regardless of the input dtype — this is the host-
+    LAPACK-class core work (the reference's z-kernels are f64), and MGS
+    in c64 loses orthogonality at ``eps_f32 * cond`` (measured 4e-3 on
+    a cond-4e4 ID skeleton factor, which wrecked the two-sided ID).
     """
-    b = np.array(b)
+    b = np.array(b, dtype=np.result_type(b.dtype, np.complex128))
     l, n = b.shape
     k = min(int(k), l, n)
     ind = np.arange(n)
@@ -191,6 +196,13 @@ def planar_column_id(a, key, rank: int, oversample: int = 10,
                                  power_iters=power_iters)
     _, r, ind = _np_qrcp(b, int(rank))
     k = min(int(rank), r.shape[0])
+    # Clamp to the NUMERICALLY available rank (the reference clamps
+    # max_rank to available rank, qr.rs:172-174; at the f32 capture
+    # class, diagonal entries below ~32 eps_f32 |r_00| are noise — a
+    # Z-solve against them returns garbage, not a deeper ID).
+    d = np.abs(np.diagonal(r))[:k]
+    alive = d >= (32 * np.finfo(np.float32).eps) * max(d[0], 1e-30)
+    k = max(int(alive.sum()), 1)
     dt = _out_dtype(a)
     c = np.ascontiguousarray(a[:, ind[:k]]).astype(dt)
     r11 = r[:k, :k]

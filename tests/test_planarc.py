@@ -140,3 +140,18 @@ def test_all_factors_host_numpy(key):
     svd = rc.planar_rsvd(a, jax.random.key(9), rank=20)
     for leaf in (svd.u, svd.s, svd.vt):
         assert isinstance(leaf, np.ndarray), type(leaf)
+
+
+def test_over_deep_rank_clamps_to_numerical_rank(key):
+    """A rank request past the f32 capture floor must clamp (the
+    reference clamps max_rank to available rank, qr.rs:172-174) instead
+    of solving against noise-level diagonals and returning garbage."""
+    a = fixture(key, (120, 80), jnp.complex64)  # sigma to 1e-10 over 80
+    cid = rc.planar_column_id(a, jax.random.key(10), rank=70)
+    assert cid.rank < 70  # sigma(70) ~ 10^-8.9 — below the f32 floor
+    rec = np.asarray(cid.to_mat())
+    err = np.linalg.norm(rec - a) / np.linalg.norm(a)
+    assert err < 1e-3, err  # sane, not the 0.9-class garbage
+    ts = rc.planar_two_sided_id(a, jax.random.key(11), rank=70)
+    err2 = np.linalg.norm(np.asarray(ts.to_mat()) - a) / np.linalg.norm(a)
+    assert err2 < 1e-3, err2
