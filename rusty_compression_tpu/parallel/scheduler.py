@@ -293,7 +293,7 @@ def compress_heterogeneous(blocks: Sequence, key, rank: int | None = None,
 
 def compress_heterogeneous_refined(blocks: Sequence, key,
                                    rel_tol: float = 1e-8,
-                                   round_rank: int = 128,
+                                   round_rank: int | None = 128,
                                    bucket_floor: int = 128,
                                    chunk_bytes: int = 256 << 20,
                                    mesh=None, axis: str = "blocks",
@@ -331,6 +331,15 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     singular weight); ragged chunks are filled with rank-1 fillers so
     every chunk reuses one compiled program.
 
+    ``round_rank=None`` switches every chunk to the BATCHED GROWTH
+    capture (``highacc._fused_growth`` vmapped): per-block rank
+    discovery at ``rel_tol`` in one device program per chunk — the
+    reference's adaptive-sampler semantics at volume
+    (random_sampling.rs:202-282) with the residual tracked exactly in
+    double-float. Padded frames are handled natively there (zero-cut
+    merge + measured per-block stopping), so only degenerate blocks
+    (min dim < 8) pre-route.
+
     Returns ``BlockResult``s in submission order; ``factors`` is a
     ``models.SVD`` of host f64/c128 numpy arrays (io-serializable;
     reconstruct in numpy to keep f64 accuracy).
@@ -350,19 +359,60 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     # Blocks whose CONTENT min dim is below the capture width l are
     # structurally rank-deficient inside the padded bucket frame
     # (sketch columns beyond the content rank come out as garbage
-    # fillers that poison the DF merge — highacc._certify_basis); they
-    # route per block through the host pipeline at their TRUE dims,
-    # where l clamps naturally.
-    l_cap = round_rank + int(kwargs.get("oversample", 10))
+    # fillers that poison the DF merge — highacc._certify_basis).
+    # Round 3 pre-routed every such block through the ~30-dispatch
+    # host-orchestrated pipeline — measured ~40 s/block through the
+    # tunnel, 100x the batched path, and it dominated the 1k-block
+    # volume run. Round 4 instead CLAMPS the capture width per chunk to
+    # the chunk's smallest content min dim (so no block in the chunk is
+    # structurally deficient at that width), quantized to powers of two
+    # (each distinct width is a separate tunnel compile, ~1-2 min —
+    # coarse quantization keeps the compile-key count at ~2 per
+    # bucket). Chunks are sorted by content min dim first, so widths
+    # are chunk-homogeneous. Capacity stays sufficient: a power-of-two
+    # width l >= cmin/2 gives 2-round capacity 2l >= the largest
+    # content min dim a 128-grid bucket can pair with cmin. Blocks a
+    # clamped width cannot reach at tol fall through to the growth
+    # fallback like any other miss.
+    # round_rank=None: BATCHED GROWTH mode — each chunk runs the vmapped
+    # fused growth loop (highacc._fused_growth), discovering every
+    # block's rank at rel_tol in one device program (the reference's
+    # adaptive-sampler semantics at volume, random_sampling.rs:202-282).
+    growth = round_rank is None
+    oversample = int(kwargs.get("oversample", 10))
+    # growth mode: 128 caps the per-round width (the loop stops on the
+    # measured residual, so width only sets per-round cost granularity)
+    l_cap = 128 if growth else int(round_rank) + oversample
+
+    def chunk_width(chunk):
+        """Capture width for a chunk: l_cap, or the largest power of
+        two <= the chunk's smallest content min dim. Below 8, the
+        per-block host route stays (degenerate frames)."""
+        cmin = min(min(shapes[i]) for i in chunk)
+        if cmin >= l_cap:
+            return l_cap
+        if cmin < 8:
+            return 8  # tiny blocks in this chunk pre-route
+        return 1 << (cmin.bit_length() - 1)
+
+    def is_pre_routed(i, l_chunk, bm, bn):
+        # growth mode: padded frames are handled natively (zero-cut
+        # merge + per-block residual stopping); only degenerate frames
+        # pre-route. Fixed-round mode: any block narrower than the
+        # chunk's capture width.
+        if growth:
+            return min(shapes[i]) < 8
+        return min(shapes[i]) < min(l_chunk, bm, bn)
 
     def dispatch(gi, c0, bm, bn, batch, chunk):
         """Pack + enqueue one chunk's capture (device runs async)."""
         dtype = np.result_type(np.float64,
                                *[np.asarray(blocks[i]).dtype
                                  for i in chunk])
+        l_chunk = chunk_width(chunk)
         stack = np.zeros((batch, bm, bn), dtype=dtype)
         for s_, i in enumerate(chunk):
-            if min(shapes[i]) < min(l_cap, bm, bn):
+            if is_pre_routed(i, l_chunk, bm, bn):
                 stack[s_, 0, 0] = 1.0  # pre-routed: filler slot
                 continue
             m, n = shapes[i]
@@ -371,19 +421,21 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         # rank 1, so padded slots can't trip the tolerance gate
         for s_ in range(len(chunk), batch):
             stack[s_, 0, 0] = 1.0
+        mode_kw = (dict(growth_block=l_chunk) if growth else
+                   dict(round_rank=max(l_chunk - oversample, 1)))
         t0 = time.perf_counter()
         h = refined_fused_batch_begin(
             stack, jax.random.fold_in(key, gi * 100003 + c0),
-            round_rank=round_rank, tol=rel_tol, mesh=mesh, axis=axis,
-            on_unreachable="mark", **kwargs)
+            tol=rel_tol, mesh=mesh, axis=axis, on_unreachable="mark",
+            **mode_kw, **kwargs)
         t_enq = time.perf_counter()
-        return (h, stack, chunk, bm, bn, t0, t_enq)
+        return (h, stack, chunk, bm, bn, l_chunk, t0, t_enq)
 
     prev_ready = [0.0]
 
     def collect(work):
         """Finish one chunk: host SVD tail + per-block f64 verify."""
-        h, stack, chunk, bm, bn, t0, t_enq = work
+        h, stack, chunk, bm, bn, l_chunk, t0, t_enq = work
         outs = refined_fused_batch_finish(h)
         t_ready = time.perf_counter()
         wall = (t_ready - t0) / max(len(chunk), 1)
@@ -393,7 +445,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         for s_, i in enumerate(chunk):
             m, n = shapes[i]
             b = np.asarray(blocks[i])
-            pre_routed = min(shapes[i]) < min(l_cap, bm, bn)
+            pre_routed = is_pre_routed(i, l_chunk, bm, bn)
             out = outs[s_]
             if not pre_routed:
                 u64, s64, vt64 = out.to_f64()
@@ -404,7 +456,8 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 err = np.inf  # force the host path below
             w, dev_w = wall, dev_block
             failure = None
-            if pre_routed or (out.tol_ok and err > 5 * rel_tol):
+            if not growth and (pre_routed or
+                               (out.tol_ok and err > 5 * rel_tol)):
                 # First fallback, host-orchestrated on the UNPADDED
                 # block: exact-Gram independence logic, with the capture
                 # width clamped by the block's true dims (a padded frame
@@ -449,8 +502,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                     # containment factors: the full-rank fixed-round
                     # capture of the UNPADDED block (never raises — no
                     # tol), not the padded/filler vmapped output.
+                    rr_fb = (min(min(shapes[i]), 128) if growth
+                             else round_rank)
                     out = refined_rsvd(b, keys[i],
-                                       round_rank=round_rank, **kwargs)
+                                       round_rank=rr_fb, **kwargs)
                 u64, s64, vt64 = out.to_f64()
                 u64, vt64 = u64[:m, :], vt64[:, :n]
                 rec = u64 @ (s64[:, None] * vt64)
@@ -473,6 +528,9 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     # chunk k's host tail (SVD + verification); `window` bounds memory.
     chunk_list = []
     for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
+        # sort by content min dim so the per-chunk capture width
+        # (chunk_width) is homogeneous within each chunk
+        idxs = sorted(idxs, key=lambda i: min(shapes[i]))
         batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
         for c0 in range(0, len(idxs), batch):
             chunk_list.append((gi, c0, bm, bn, batch, idxs[c0:c0 + batch]))

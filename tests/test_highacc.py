@@ -540,3 +540,37 @@ def test_refined_rsvd_accepts_matvec_only_operator():
     out = refined_rsvd(op, jax.random.PRNGKey(30), tol=1e-8)
     assert 44 <= out.rank <= 50, out.rank
     assert out.residual_fro(a) < 5e-8
+
+
+class TestBatchedGrowth:
+    """Batched rank discovery: refined_rsvd_fused_batch with tol alone
+    runs the vmapped _fused_growth — one device program discovers each
+    block's rank at the 1e-8 class (volume-capable adaptive sampling,
+    random_sampling.rs:202-282 semantics)."""
+
+    def test_discovers_per_block_ranks(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused_batch
+        blocks = np.stack([decaying_matrix(40, 192, 192, decay_rank=40),
+                           decaying_matrix(41, 192, 192, decay_rank=100),
+                           decaying_matrix(42, 192, 192, decay_rank=40)])
+        outs = refined_rsvd_fused_batch(blocks, jax.random.PRNGKey(40),
+                                        tol=1e-8)
+        # crossings at 0.8*(dk-1): 31 and 79
+        assert 29 <= outs[0].rank <= 34, outs[0].rank
+        assert 77 <= outs[1].rank <= 82, outs[1].rank
+        assert 29 <= outs[2].rank <= 34, outs[2].rank
+        for o, b in zip(outs, blocks):
+            assert o.tol_ok
+            assert o.residual_fro(b) < 5e-8
+
+    def test_unreachable_marked(self):
+        from rusty_compression_tpu.highacc import refined_rsvd_fused_batch
+        rng = np.random.default_rng(43)
+        q, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+        flat = q @ np.diag(np.linspace(1.0, 0.5, 96)) @ q.T
+        blocks = np.stack([decaying_matrix(44, 96, 96, decay_rank=30),
+                           flat])
+        outs = refined_rsvd_fused_batch(blocks, jax.random.PRNGKey(44),
+                                        tol=1e-8, on_unreachable="mark")
+        assert outs[0].tol_ok and outs[0].residual_fro(blocks[0]) < 5e-8
+        assert not outs[1].tol_ok

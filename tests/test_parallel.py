@@ -568,3 +568,33 @@ def test_refined_stream_content_smaller_than_capture():
     for r in results:
         assert r.ok, r.error
         assert r.rel_residual < 5e-8, (r.index, r.rel_residual)
+
+
+def test_refined_stream_growth_mode_discovers_ranks():
+    """round_rank=None: the stream runs the batched growth capture —
+    per-block rank discovery at rel_tol, one device program per chunk
+    (volume-capable adaptive sampling; VERDICT r3 next #4)."""
+    rng = np.random.default_rng(55)
+
+    def decaying(m, n, decay_rank):
+        k = min(m, n)
+        sig = np.maximum(10 ** (-10 * np.arange(k) / (decay_rank - 1)),
+                         1e-12)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * sig) @ v.T
+
+    # same bucket, different true ranks (crossings at 24 and 80);
+    # plus a small padded-frame block (content 70 < bucket 128)
+    blocks = [decaying(128, 128, 31), decaying(128, 128, 101),
+              decaying(70, 128, 31)]
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(55), rel_tol=1e-8, round_rank=None,
+        bucket_floor=64)
+    assert [r.index for r in results] == [0, 1, 2]
+    for r in results:
+        assert r.error is None, r.error
+        assert r.rel_residual < 5e-8, (r.index, r.rel_residual)
+    assert 22 <= results[0].rank <= 28, results[0].rank
+    assert 77 <= results[1].rank <= 84, results[1].rank
+    assert 22 <= results[2].rank <= 28, results[2].rank
