@@ -251,6 +251,71 @@ def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
     return rows
 
 
+def measure_4b_ablation(m: int = 16384, rank: int = 16, trials: int = 4):
+    """Stage ablation of config 4b (two-sided ID at 16384^2, rank 16):
+    cumulative device time after sketch / RRQR / column-ID / two-sided
+    stages (scan-timed, min-statistics). VERDICT r3 weak #6: the config
+    runs at ~1/3 of its 2-read bandwidth ceiling — this says which
+    stage eats the rest."""
+    import jax.numpy as jnp
+
+    from rusty_compression_tpu.models.qr import QR
+    from rusty_compression_tpu.utils.random_matrix import random_gaussian
+
+    key = jax.random.key(40)
+    a = random_gaussian(jax.random.key(1), (m, m), dtype=jnp.float32)
+    a = a / jnp.float32(m)
+    sync(a)
+    g = random_gaussian(jax.random.key(2), (136, m), dtype=jnp.float32)
+
+    def upto(stage):
+        def fn(x):
+            out = g @ x  # the sketch read (stage 0)
+            if stage >= 1:
+                qr = QR.compute_from(x, max_rank=rank, key=key)
+                out = qr.r[:1, :1]
+            if stage >= 2:
+                cid = qr.column_id()
+                out = cid.z[:1, :1]
+            if stage >= 3:
+                ts = cid.two_sided_id()
+                out = ts.x[:1, :1]
+            return jnp.sum(out[:1, :1])
+        return fn
+
+    names = ["sketch-read", "+rrqr(pivots/panel/r-rows)", "+column-id",
+             "+two-sided"]
+    cum = []
+    for stage in range(4):
+        fn = upto(stage)
+
+        def make(reps):
+            def body(c, _):
+                o = fn(c)
+                return c * (1.0 + 0.0 * o), o
+            return jax.jit(lambda x: jax.lax.scan(body, x, None,
+                                                  length=reps)[0])
+        fa, fb = make(2), make(12)
+        sync(fa(a))
+        sync(fb(a))
+        tas, tbs = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            sync(fa(a))
+            tas.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync(fb(a))
+            tbs.append(time.perf_counter() - t0)
+        cum.append((min(tbs) - min(tas)) / 10)
+    rows = []
+    prev = 0.0
+    for name, c in zip(names, cum):
+        rows.append({"stage": name, "cum_ms": round(c * 1e3, 2),
+                     "delta_ms": round((c - prev) * 1e3, 2)})
+        prev = c
+    return rows
+
+
 def main():
     t0 = time.perf_counter()
     x = jnp.ones((8, 8), jnp.float32)
@@ -324,6 +389,7 @@ def main():
     records = []
     fused = None
     ablation = None
+    ablation_4b = None
     try:
         # Size sweep (VERDICT r2 weak #2: one-shape evidence): where
         # does the device-side figure saturate?
@@ -346,6 +412,11 @@ def main():
                 print(f"[fused-ablation] {row['stage']}: "
                       f"cum {row['cum_ms']:.2f} ms "
                       f"(+{row['delta_ms']:.2f})", flush=True)
+            ablation_4b = measure_4b_ablation()
+            for row in ablation_4b:
+                print(f"[4b-ablation] {row['stage']}: "
+                      f"cum {row['cum_ms']:.2f} ms "
+                      f"(+{row['delta_ms']:.2f})", flush=True)
 
         for (m, n, k), panel, block, pivot, cand in sweep:
             r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot,
@@ -362,7 +433,8 @@ def main():
                "pallas_available": bool(pallas_ok),
                "c64_packed_pallas": c64_status,
                "rrqr": records, "fused_1e8": fused,
-               "fused_ablation": ablation}
+               "fused_ablation": ablation,
+               "ablation_4b": ablation_4b}
         with open("BENCH_KERNELS.jsonl", "a") as f:
             f.write(json.dumps(out) + "\n")
         print(json.dumps(out), flush=True)
