@@ -313,6 +313,37 @@ def measure_4b_ablation(m: int = 16384, rank: int = 16, trials: int = 4):
         rows.append({"stage": name, "cum_ms": round(c * 1e3, 2),
                      "delta_ms": round((c - prev) * 1e3, 2)})
         prev = c
+
+    # ONE-read sketched route (sampling.sketched_two_sided_id) at the
+    # same shape — the round-4 answer to the 2-read floor, scan-timed
+    # for a like-for-like contrast with the cumulative rows above.
+    from rusty_compression_tpu.sampling import sketched_two_sided_id
+
+    def one_read(x):
+        ts = sketched_two_sided_id(x, key, rank=rank)
+        return jnp.sum(ts.x[:1, :1])
+
+    def make1(reps):
+        def body(c, _):
+            o = one_read(c)
+            return c * (1.0 + 0.0 * o), o
+        return jax.jit(lambda x: jax.lax.scan(body, x, None,
+                                              length=reps)[0])
+    fa, fb = make1(2), make1(12)
+    sync(fa(a))
+    sync(fb(a))
+    tas, tbs = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        sync(fa(a))
+        tas.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(fb(a))
+        tbs.append(time.perf_counter() - t0)
+    t1 = (min(tbs) - min(tas)) / 10
+    rows.append({"stage": "oneread-sketched-total",
+                 "cum_ms": round(t1 * 1e3, 2),
+                 "delta_ms": round(t1 * 1e3, 2)})
     return rows
 
 

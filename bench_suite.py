@@ -334,6 +334,34 @@ def main():
                    flops=(4 * mb_b * mb_b * rank_b + 4 * mb_b * rank_b ** 2
                           + rank_b ** 2 * mb_b), seconds=dt4b)
 
+            # ---- config 4b1: ONE-read sketched two-sided ID at the same
+            # dims (VERDICT r3 weak #6: the blocked-RRQR route is 2-read
+            # — sketch + R-rows — capping it at ~385 blocks/s; the
+            # sketched ID reads the block once, halving the bandwidth
+            # floor; sampling.sketched_two_sided_id) ---------------------
+            from rusty_compression_tpu.parallel.batch import (
+                batched_sketched_two_sided_id)
+
+            run4b1 = jax.jit(
+                lambda b, key: batched_sketched_two_sided_id(b[None], key,
+                                                             rank=rank_b))
+            dt4b1 = timeit_slope(run4b1, blk_b, jax.random.key(42), n1=1,
+                                 n2=4, trials=3)
+            tsid_b1 = run4b1(blk_b, jax.random.key(42))
+            err4b1 = float(np.asarray(
+                batched_rel_diff_fro(tsid_b1, blk_b[None])).max())
+            record("4b1-two-sided-id-16k-oneread", "throughput", 1.0 / dt4b1,
+                   "blocks/s", "rel err <= 0.005 (admissible blocks)",
+                   err4b1 <= 5e-3,
+                   {"gbps": blk_b.size * blk_b.dtype.itemsize / dt4b1 / 1e9,
+                    "block_dim": mb_b, "rank": rank_b,
+                    "max_rel_err": err4b1, "wall_s": dt4b1,
+                    "hbm_util_pct": hbm_util_pct(
+                        blk_b.size * blk_b.dtype.itemsize, dt4b1,
+                        dev.device_kind)},
+                   flops=(2 * mb_b * mb_b * (rank_b + 8)
+                          + 4 * mb_b * rank_b ** 2), seconds=dt4b1)
+
         # ---- config 4h: two-sided ID at tol 1e-8 (BEM block) ---------------
         # BASELINE config 4's decomposition at the reference's accuracy
         # class: adaptive (tol-only) capture + host f64 skeleton math;

@@ -41,6 +41,9 @@ from .sampling import (
     sample_range_adaptive,
     sample_range_by_rank,
     sample_range_power_iteration,
+    sketched_column_id,
+    sketched_row_id,
+    sketched_two_sided_id,
 )
 from .highacc import (
     refined_capture,
@@ -107,6 +110,7 @@ __all__ = [
     "sample_range_adaptive", "adaptive_range_finder", "range_finder",
     "randomized_adaptive_qr", "randomized_adaptive_svd",
     "nystrom_svd",
+    "sketched_column_id", "sketched_row_id", "sketched_two_sided_id",
     "max_col_norm", "HMT_TOL_FACTOR",
     # high-accuracy (tol <= 1e-8) pipelines
     "refined_capture", "refined_rsvd", "refined_rsvd_fused",

@@ -426,6 +426,14 @@ class AdjointOperator(LinearOperator):
     def conj_matmat(self, x):
         return self.op.matmat(x)
 
+    def __getattr__(self, name):
+        # Surface the wrapped operator's dense view (conjugate-
+        # transposed) when it has one — cheap column gathers on the
+        # adjoint (sampling.sketched_row_id) stay gathers.
+        if name == "to_dense" and hasattr(self.op, "to_dense"):
+            return lambda: herm(self.op.to_dense())
+        raise AttributeError(name)
+
     def tree_flatten(self):
         return (self.op,), None
 

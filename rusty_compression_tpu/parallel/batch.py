@@ -36,11 +36,13 @@ __all__ = [
     "column_id_block",
     "row_id_block",
     "two_sided_id_block",
+    "sketched_two_sided_id_block",
     "batched_rsvd",
     "batched_nystrom",
     "batched_column_id",
     "batched_row_id",
     "batched_two_sided_id",
+    "batched_sketched_two_sided_id",
     "batched_rel_diff_fro",
     "adaptive_rsvd_block",
     "batched_adaptive_rsvd",
@@ -117,6 +119,18 @@ def two_sided_id_block(a, key, rank: int, **qr_kwargs) -> TwoSidedID:
     return column_id_block(a, key, rank, **qr_kwargs).two_sided_id()
 
 
+@with_precision
+def sketched_two_sided_id_block(a, key, rank: int, oversample: int = 8,
+                                **qr_kwargs) -> TwoSidedID:
+    """One-read fixed-rank two-sided ID of one block: the whole RRQR is
+    replaced by a QRCP-of-sketch + k-column gather, so the block is
+    read from HBM once instead of twice (sampling.sketched_two_sided_id
+    — the bandwidth-optimal route for small ranks)."""
+    from ..sampling import sketched_two_sided_id
+
+    return sketched_two_sided_id(a, key, rank, oversample, **qr_kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Batched (vmap) entry points
 # ---------------------------------------------------------------------------
@@ -161,6 +175,13 @@ def batched_row_id(blocks, key, rank: int, **qr_kwargs) -> RowID:
 def batched_two_sided_id(blocks, key, rank: int, **qr_kwargs) -> TwoSidedID:
     """Two-sided ID of a block stack (leaves carry a leading batch axis)."""
     return _batched(two_sided_id_block, blocks, key, rank, qr_kwargs)
+
+
+def batched_sketched_two_sided_id(blocks, key, rank: int,
+                                  **kwargs) -> TwoSidedID:
+    """One-read two-sided ID of a block stack (half the HBM traffic of
+    ``batched_two_sided_id``; see ``sketched_two_sided_id_block``)."""
+    return _batched(sketched_two_sided_id_block, blocks, key, rank, kwargs)
 
 
 def batched_rel_diff_fro(factors, blocks):

@@ -390,3 +390,95 @@ class TestFunctionOperator:
         with pytest.raises(NotImplementedError, match="conj_matvec"):
             rc.sample_range_adaptive(op, jax.random.key(5), 1e-5,
                                      sample_size=10)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+class TestSketchedID:
+    """One-read interpolative decompositions (sampling.sketched_*):
+    column/row/two-sided IDs built from a single sketch read plus a
+    k-column gather. Contracts mirror the reference's ID tests
+    (qr.rs:491-582, col_interp_decomp.rs:176-241) — reconstruction
+    error against the known spectrum, literal column/row identity
+    (bitwise here: C/R are gathers), and entrywise skeleton exactness —
+    with the sketched-LS error multiple absorbed into the 5x-class
+    gates."""
+
+    def _fixture(self, key, dtype, m=120, n=90):
+        a = rc.random_approximate_low_rank_matrix(
+            key, (m, n), 1.0, _sigma_min(dtype), dtype=dtype)
+        return a
+
+    def test_column_id(self, key, dtype):
+        a = self._fixture(key, dtype)
+        k = 40
+        cid = rc.sketched_column_id(a, jax.random.key(1), rank=k)
+        assert cid.c.shape == (120, k) and cid.z.shape == (k, 90)
+        # bitwise column identity (stronger than qr.rs:518-524's
+        # per-column approximate identity)
+        np.testing.assert_array_equal(
+            np.asarray(cid.c), np.asarray(a)[:, np.asarray(cid.col_ind[:k])])
+        err = float(rc.rel_diff_fro(cid.to_mat(), a))
+        opt = _sigma_min(dtype) ** (k / 89)
+        assert err < 10 * opt
+
+    def test_row_id(self, key, dtype):
+        a = self._fixture(key, dtype)
+        k = 40
+        rid = rc.sketched_row_id(a, jax.random.key(2), rank=k)
+        assert rid.x.shape == (120, k) and rid.r.shape == (k, 90)
+        np.testing.assert_array_equal(
+            np.asarray(rid.r), np.asarray(a)[np.asarray(rid.row_ind[:k]), :])
+        err = float(rc.rel_diff_fro(rid.to_mat(), a))
+        opt = _sigma_min(dtype) ** (k / 89)
+        assert err < 10 * opt
+
+    def test_two_sided_id(self, key, dtype):
+        a = self._fixture(key, dtype)
+        k = 40
+        ts = rc.sketched_two_sided_id(a, jax.random.key(3), rank=k)
+        assert ts.x.shape == (k, k)
+        err = float(rc.rel_diff_fro(ts.to_mat(), a))
+        opt = _sigma_min(dtype) ** (k / 89)
+        assert err < 10 * opt
+        # entrywise skeleton contract (two_sided_interp_decomp.rs:9-10;
+        # oracle of col_interp_decomp.rs:213-224)
+        sk = np.asarray(a)[np.ix_(np.asarray(ts.row_ind[:k]),
+                                  np.asarray(ts.col_ind[:k]))]
+        tol = 1e-4 if np.dtype(dtype).itemsize <= 8 else 1e-9
+        np.testing.assert_allclose(np.asarray(ts.x), sk,
+                                   rtol=tol, atol=tol * np.abs(sk).max())
+
+    def test_matrix_free_operator(self, key, dtype):
+        """The one-hot gather path: a matvec-only FunctionOperator."""
+        a = self._fixture(key, dtype)
+        op = rc.FunctionOperator(
+            lambda x: a @ x, a.shape, dtype=a.dtype,
+            conj_matvec=lambda x: jnp.conj(a).T @ x)
+        k = 30
+        cid = rc.sketched_column_id(op, jax.random.key(4), rank=k)
+        err = float(rc.rel_diff_fro(cid.to_mat(), a))
+        assert err < 10 * _sigma_min(dtype) ** (k / 89)
+
+    def test_jit_vmap_clean(self, key, dtype):
+        """Static shapes end-to-end: the batched one-read route."""
+        from rusty_compression_tpu.parallel.batch import (
+            batched_sketched_two_sided_id)
+
+        if dtype in (jnp.complex64, jnp.complex128):
+            pytest.skip("batched path exercised for real dtypes")
+        ks = jax.random.split(key, 3)
+        blocks = jnp.stack([
+            self._fixture(ks[i], dtype) for i in range(3)])
+        ts = jax.jit(
+            lambda b, k_: batched_sketched_two_sided_id(b, k_, rank=24)
+        )(blocks, jax.random.key(5))
+        from rusty_compression_tpu.parallel.batch import batched_rel_diff_fro
+        errs = np.asarray(batched_rel_diff_fro(ts, blocks))
+        assert np.all(errs < 10 * _sigma_min(dtype) ** (24 / 89))
+
+    def test_deterministic_under_fixed_key(self, key, dtype):
+        a = self._fixture(key, dtype)
+        t1 = rc.sketched_two_sided_id(a, jax.random.key(7), rank=20)
+        t2 = rc.sketched_two_sided_id(a, jax.random.key(7), rank=20)
+        for l1, l2 in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
