@@ -67,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                       help="adaptive relative tolerance (rank per block)")
     ap.add_argument("--method", default="rsvd",
                     choices=["rsvd", "nystrom", "column_id", "row_id",
+                             "sketched_two_sided_id",
                              "two_sided_id"],
                     help="fixed-rank factorization (ignored with --tol)")
     ap.add_argument("--power-iters", type=int, default=1)

@@ -35,6 +35,7 @@ class CompressionConfig:
     rank: int | None = None          # fixed target rank
     rel_tol: float | None = None     # adaptive relative tolerance
     method: str = "rsvd"             # rsvd | nystrom | column_id | row_id
+                                     # | two_sided_id | sketched_two_sided_id
     #                                #   | two_sided_id
 
     # -- sampling knobs (reference defaults, random_sampling.rs:63-89) ------
@@ -60,7 +61,7 @@ class CompressionConfig:
             raise ValueError(
                 "set exactly one of rank= (fixed) or rel_tol= (adaptive)")
         if self.method not in ("rsvd", "nystrom", "column_id", "row_id",
-                               "two_sided_id"):
+                               "two_sided_id", "sketched_two_sided_id"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.rel_tol is not None and self.method != "rsvd":
             raise ValueError(
@@ -107,6 +108,7 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
         column_id_block,
         row_id_block,
         rsvd_block,
+        sketched_two_sided_id_block,
         two_sided_id_block,
     )
 
@@ -174,7 +176,8 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
             ortho=c.ortho, small_svd=c.small_svd, **common)
         return svd.compress_svd_rank(int(rank)), hist
     block_fns = {"rsvd": rsvd_block, "column_id": column_id_block,
-                 "row_id": row_id_block, "two_sided_id": two_sided_id_block}
+                 "row_id": row_id_block, "two_sided_id": two_sided_id_block,
+                 "sketched_two_sided_id": sketched_two_sided_id_block}
     if c.method == "rsvd":
         return rsvd_block(target, key, c.rank, c.oversample, c.power_iters,
                           c.ortho, c.small_svd, **common)

@@ -85,6 +85,17 @@ DEFAULT_TERMS_PRODUCT = 7
 DEFAULT_SLICES_DF = 10
 #: Slices fully covering a plain f32 operand (24 bits / w=5).
 SLICES_F32 = 5
+#: ABSOLUTE magnitude cut for double-deflated merge directions (unit
+#: columns in; genuine new directions deflate to sin(principal angle)
+#: ~ O(1), in-span contamination to ~1e-7..1e-5 under TPU bf16 GEMMs).
+#: A RELATIVE cut (pre-round-4: cn > 1e-5 * max(cn)) fails exactly when
+#: a round is ALL noise — content rank below the round width, the
+#: clamped-width stream's common case — because max(cn) is then itself
+#: noise-scale and every filler survives svqb normalization (measured
+#: 4.9e-8-class stream residuals, bench config 7). Cutting a genuine
+#: direction at the 1e-4 line costs <= 1e-4 * ||R|| ~ 1e-12 relative
+#: at the tol-1e-8 round where it can occur.
+MERGE_CUT_ABS = 1e-4
 
 
 def _nsl(terms: int) -> int:
@@ -784,11 +795,14 @@ def _fused_growth(a: DF, key, tol, l: int, rounds: int, power_iters: int,
         def sample():
             u2, w2 = _f32_round(r2.hi, keys[i], l, power_iters)
             d = _deflate_twice(buf, u2)
-            # magnitude cut BEFORE svqb (1e-5): double-deflated
-            # in-span columns shrink to ~1e-7; svqb's diagonal scaling
-            # would erase that signal and promote them to unit fillers.
+            # magnitude cut BEFORE svqb: double-deflated in-span
+            # columns shrink to ~1e-7; svqb's diagonal scaling would
+            # erase that signal and promote them to unit fillers. The
+            # cut is ABSOLUTE (see MERGE_CUT_ABS: a relative cut keeps
+            # every filler when the whole round is noise).
             cn = jnp.linalg.norm(d, axis=0)
-            d = d * (cn > 1e-5 * jnp.max(cn))[None, :].astype(d.dtype)
+            d = d * ((cn > MERGE_CUT_ABS)
+                     & (cn > 1e-5 * jnp.max(cn)))[None, :].astype(d.dtype)
             dq = _svqb_cut(d)
             return jax.lax.dynamic_update_slice(
                 buf, dq, (jnp.int32(0), i * jnp.int32(l))), u2, w2
@@ -1168,7 +1182,8 @@ def _fused_capture(a: DF, key, l: int, power_iters: int, refine_rounds: int,
         if cut_merge:
             d = _deflate_twice(basis, u_i)
             cn = jnp.linalg.norm(d, axis=0)
-            d = d * (cn > 1e-5 * jnp.max(cn))[None, :].astype(d.dtype)
+            d = d * ((cn > MERGE_CUT_ABS)
+                     & (cn > 1e-5 * jnp.max(cn)))[None, :].astype(d.dtype)
             dq = _svqb_cut(d)[:, :room]
         else:
             dq = _orthonormalize_f32(_deflate_twice(basis, u_i))[:, :room]

@@ -28,6 +28,7 @@ from .batch import (
     batched_nystrom,
     batched_row_id,
     batched_rsvd,
+    batched_sketched_two_sided_id,
     batched_two_sided_id,
 )
 
@@ -45,6 +46,7 @@ _METHODS = {
     "column_id": batched_column_id,
     "row_id": batched_row_id,
     "two_sided_id": batched_two_sided_id,
+    "sketched_two_sided_id": batched_sketched_two_sided_id,
 }
 
 

@@ -153,7 +153,7 @@ def _unpad_factors(factors, i: int, m: int, n: int, method: str):
         return cls(f.c[:m, :], f.z[:, :n], f.col_ind)
     if method == "row_id":
         return cls(f.x[:m, :], f.r[:, :n], f.row_ind)
-    if method == "two_sided_id":
+    if method in ("two_sided_id", "sketched_two_sided_id"):
         return cls(f.c[:m, :], f.x, f.r[:, :n], f.row_ind, f.col_ind)
     raise ValueError(f"unknown method {method!r}")
 

@@ -15,7 +15,7 @@ def mat(key):
 
 @pytest.mark.parametrize("method,cls", [
     ("rsvd", "SVD"), ("column_id", "ColumnID"), ("row_id", "RowID"),
-    ("two_sided_id", "TwoSidedID")])
+    ("two_sided_id", "TwoSidedID"), ("sketched_two_sided_id", "TwoSidedID")])
 def test_single_matrix_routes(mat, method, cls):
     cfg = rc.CompressionConfig.RANK(12, method=method, power_iters=1)
     f = rc.compress(mat, jax.random.key(1), cfg)
@@ -55,7 +55,8 @@ def test_list_path_non_rsvd_methods(key):
     """Regression: heterogeneous-list branch crashed for ID methods."""
     blocks = [np.asarray(rc.random_approximate_low_rank_matrix(
         k, (40, 30), 1.0, 1e-10)) for k in jax.random.split(key, 2)]
-    for m in ("column_id", "row_id", "two_sided_id"):
+    for m in ("column_id", "row_id", "two_sided_id",
+              "sketched_two_sided_id"):
         res = rc.compress(blocks, jax.random.key(1),
                           rc.CompressionConfig.RANK(6, method=m))
         assert len(res) == 2
