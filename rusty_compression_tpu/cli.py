@@ -106,6 +106,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    # Honor JAX_PLATFORMS even under environments that force-register
+    # an accelerator plugin (the env var alone does not stick there —
+    # a CPU-pinned CLI run would silently grab the TPU and hang on a
+    # dead tunnel; same pattern as bench_kernels/conftest).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from . import io as rcio
     from .parallel.scheduler import compress_heterogeneous
     from .utils.logging import MetricsLogger
