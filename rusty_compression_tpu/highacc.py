@@ -425,6 +425,18 @@ class RefinedSVD(NamedTuple):
     #: drivers record the failure per block; SURVEY §5 elastic
     #: recovery). The factors are then the full-rank capture.
     tol_ok: bool = True
+    #: Spectral-cut-optimal Frobenius residual: the tail Frobenius mass
+    #: of the UNTRUNCATED core spectrum beyond the tolerance cut,
+    #: ``sqrt(sum(s_hat[kf:]^2)) / ||s_hat||_2``. The reference's
+    #: tolerance is a SPECTRAL cut (first ``s_i/s_0 < tol`` excluded,
+    #: qr.rs:190-194 / svd.rs:92-95); on a flat-tailed spectrum (many
+    #: just-below-tol directions — e.g. admissible Laplace blocks with
+    #: a ~7e-9 numerical floor) the Frobenius residual of even the
+    #: OPTIMAL rank-kf factorization is ~tol*sqrt(#tail), well above
+    #: the 5*tol Frobenius gate calibrated on fast-decay fixtures.
+    #: Stream drivers gate against ``max(5*tol, slack*opt_resid)`` —
+    #: "achieved what the spectral contract allows".
+    opt_resid: float | None = None
 
     @property
     def rank(self) -> int:
@@ -1096,10 +1108,12 @@ def _finish_core(q: DF, b: np.ndarray, iscx: bool, terms: int,
     if rank is not None:
         kf = min(kf, int(rank))
     uh = uh[:, :kf]
+    opt = float(np.sqrt((s[kf:] ** 2).sum()) / np.linalg.norm(s))
 
     apply_fn = _capply_right if iscx else _apply_right
     u = apply_fn(q, df_from_f64(uh), terms, DEFAULT_SLICES_DF)
-    return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history))
+    return RefinedSVD(u, s[:kf], vt[:kf, :], tuple(history),
+                      opt_resid=opt)
 
 
 # ---------------------------------------------------------------------------
@@ -1506,7 +1520,9 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
         DF(qh, ql), DF(w_hi, w_lo), terms, DEFAULT_SLICES_DF))(
             q.hi, q.lo, w_df.hi, w_df.lo)
     return [RefinedSVD(DF(u.hi[i, :, :kf], u.lo[i, :, :kf]),
-                       s[i, :kf], vt[i, :kf, :], (), tol_ok=oks[i])
+                       s[i, :kf], vt[i, :kf, :], (), tol_ok=oks[i],
+                       opt_resid=float(np.sqrt((s[i, kf:] ** 2).sum())
+                                       / np.linalg.norm(s[i])))
             for i, kf in enumerate(kfs)]
 
 
@@ -1627,7 +1643,9 @@ def refined_rsvd_planar(a, key, rank: int | None = None,
         kf = min(kf, int(rank))
     u = qc @ uh[:, :kf]                      # host c128 (small product)
     u_df = df_from_c128_host(u)
-    return RefinedSVD(u_df, s[:kf], vt[:kf, :], tuple(history))
+    opt = float(np.sqrt((s[kf:] ** 2).sum()) / np.linalg.norm(s))
+    return RefinedSVD(u_df, s[:kf], vt[:kf, :], tuple(history),
+                      opt_resid=opt)
 
 
 def df_from_c128_host(x: np.ndarray) -> DF:

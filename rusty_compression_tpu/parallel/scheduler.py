@@ -36,6 +36,17 @@ import numpy as np
 from .batch import batched_rel_diff_fro
 from .mesh import compress_blocks, compress_blocks_adaptive
 
+#: Acceptance slack over the spectral-cut-optimal Frobenius residual
+#: (RefinedSVD.opt_resid): a block within OPT_SLACK of its own core
+#: spectrum's tail mass achieved what the spectral tolerance contract
+#: allows (flat-tailed spectra cannot reach 5*tol in Frobenius norm).
+OPT_SLACK = 1.25
+#: Repair trigger multiple of the tolerance: blocks above
+#: max(REPAIR_TOL_FACTOR*tol, OPT_SLACK*opt) re-run through the exact
+#: host route (then growth) BEFORE the 5*tol acceptance gate — capture
+#: outliers are repaired to ~tol instead of shipping at the boundary.
+REPAIR_TOL_FACTOR = 2.0
+
 __all__ = [
     "BlockResult",
     "bucket_dim",
@@ -456,8 +467,30 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 err = np.inf  # force the host path below
             w, dev_w = wall, dev_block
             failure = None
+
+            # Achievability yardstick (round 4): the tolerance is the
+            # reference's SPECTRAL cut (qr.rs:190-194); on flat-tailed
+            # spectra (e.g. admissible Laplace blocks with a ~7e-9
+            # numerical floor) even the OPTIMAL rank-kf factorization
+            # has Frobenius residual ~tol*sqrt(#tail) >> 5*tol. opt is
+            # the core spectrum's own tail mass (RefinedSVD.opt_resid):
+            # a block at <= OPT_SLACK*opt achieved what the spectral
+            # contract allows and is NOT a miss. Repairs kick in ABOVE
+            # max(REPAIR_TOL_FACTOR*tol, OPT_SLACK*opt) — tighter than
+            # the 5*tol acceptance, so capture-quality outliers (the
+            # TPU's key-dependent 3-5e-8 misses on 1e-8-class blocks)
+            # are re-run through the exact host route instead of
+            # shipping at the gate boundary.
+            def _opt(o):
+                v = getattr(o, "opt_resid", None)
+                return 0.0 if v is None else float(v)
+
+            def needs_repair(e, o):
+                return e > max(REPAIR_TOL_FACTOR * rel_tol,
+                               OPT_SLACK * _opt(o))
+
             if not growth and (pre_routed or
-                               (out.tol_ok and err > 5 * rel_tol)):
+                               (out.tol_ok and needs_repair(err, out))):
                 # First fallback, host-orchestrated on the UNPADDED
                 # block: exact-Gram independence logic, with the capture
                 # width clamped by the block's true dims (a padded frame
@@ -477,7 +510,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                     pass  # growth fallback decides
                 w += time.perf_counter() - t0f
                 dev_w += time.perf_counter() - t0f
-            if not out.tol_ok or err > 5 * rel_tol:
+            if not out.tol_ok or needs_repair(err, out):
                 # Second fallback: the fixed-round capacity
                 # (round_rank * (1 + refine_rounds)) may simply sit
                 # below the block's true rank at this tolerance — the
@@ -513,9 +546,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                             / np.linalg.norm(b))
                 w += time.perf_counter() - t0g
                 dev_w += time.perf_counter() - t0g
-            if failure is None and err > 5 * rel_tol:
-                failure = (f"residual {err:.3e} missed the 5x{rel_tol:g} "
-                           "gate after fixed-round and growth fallbacks")
+            if failure is None and err > max(5 * rel_tol,
+                                             OPT_SLACK * _opt(out)):
+                failure = (f"residual {err:.3e} missed the "
+                           f"max(5x{rel_tol:g}, {OPT_SLACK}x optimal "
+                           f"{_opt(out):.3e}) gate after fixed-round and "
+                           "growth fallbacks")
             results[i] = BlockResult(
                 index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
                 rel_residual=err, wall_time_s=w,

@@ -598,3 +598,61 @@ def test_refined_stream_growth_mode_discovers_ranks():
     assert 22 <= results[0].rank <= 28, results[0].rank
     assert 77 <= results[1].rank <= 84, results[1].rank
     assert 22 <= results[2].rank <= 28, results[2].rank
+
+
+def test_refined_stream_flat_tail_block_accepted_at_optimal():
+    """Achievability yardstick (round 4): the tolerance is the
+    reference's SPECTRAL cut (qr.rs:190-194). A spectrum with a flat
+    just-below-tol tail (admissible Laplace blocks have a ~7e-9
+    numerical floor across dozens of directions) cannot reach a 5*tol
+    FROBENIUS residual at ANY rank the spectral contract permits —
+    the optimal residual is ~tol*sqrt(#tail). Such a block must be
+    accepted (error=None) when it lands within OPT_SLACK of its own
+    core spectrum's tail mass, not marked failed; fast-decay blocks in
+    the same stream keep the strict 5*tol gate."""
+    rng = np.random.default_rng(3)
+    m = n = 160
+
+    def with_spectrum(sig):
+        k = len(sig)
+        u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        return (u * np.asarray(sig)) @ v.T
+
+    # flat tail: 12 fast-decaying + 60 directions at 8.5e-9 — optimal
+    # Frobenius residual at the 1e-8 cut is ~8.5e-9*sqrt(60) ~ 6.6e-8,
+    # ABOVE the plain 5x gate
+    flat = np.concatenate([10.0 ** np.linspace(0, -7.2, 12),
+                           np.full(60, 8.5e-9)])
+    # fast decay: crossing at ~24, tail Fro ~1.1e-8
+    fast = 10.0 ** (-10.0 * np.arange(40) / 29)
+    blocks = [with_spectrum(flat), with_spectrum(fast)]
+    results = par.compress_heterogeneous_refined(
+        blocks, jax.random.key(9), rel_tol=1e-8, round_rank=48,
+        bucket_floor=64)
+    flat_r, fast_r = results
+    assert flat_r.error is None, flat_r.error
+    # accepted at its own optimal, which exceeds the plain 5x gate
+    opt = np.sqrt((flat[12:] ** 2).sum()) / np.linalg.norm(flat)
+    assert flat_r.rel_residual == pytest.approx(opt, rel=0.3)
+    assert flat_r.rel_residual > 5e-8  # the plain gate would have failed it
+    assert 10 <= flat_r.rank <= 14
+    assert fast_r.error is None
+    assert fast_r.rel_residual < 5e-8
+
+
+def test_refined_svd_reports_spectral_cut_optimal():
+    """RefinedSVD.opt_resid is the core spectrum's tail mass at the
+    cut — the yardstick the stream gates against."""
+    from rusty_compression_tpu import highacc
+
+    rng = np.random.default_rng(5)
+    sig = 10.0 ** (-10.0 * np.arange(32) / 23)
+    u, _ = np.linalg.qr(rng.standard_normal((96, 32)))
+    v, _ = np.linalg.qr(rng.standard_normal((80, 32)))
+    a = (u * sig) @ v.T
+    out = highacc.refined_rsvd(a, jax.random.key(1), tol=1e-8)
+    assert out.opt_resid is not None
+    true_opt = np.sqrt((sig[out.rank:] ** 2).sum()) / np.linalg.norm(sig)
+    assert out.opt_resid == pytest.approx(true_opt, rel=0.2)
+    assert out.residual_fro(a) <= 1.25 * max(5e-8, out.opt_resid)
