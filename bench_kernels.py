@@ -396,6 +396,16 @@ def measure_4b_ablation(m: int = 16384, rank: int = 16, trials: int = 4):
 
 
 def main():
+    # A `timeout`-driven SIGTERM (dead-tunnel insurance in the window
+    # queues) must still reach the finally-block below — records from
+    # the sections that DID complete are the window's evidence.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     t0 = time.perf_counter()
     x = jnp.ones((8, 8), jnp.float32)
     jax.device_get(x @ x)
