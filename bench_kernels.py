@@ -502,15 +502,20 @@ def main():
                 print(f"[fused-ablation] {row['stage']}: "
                       f"cum {row['cum_ms']:.2f} ms "
                       f"(+{row['delta_ms']:.2f})", flush=True)
+            # growth-device first: it is seconds-class, while the
+            # 16384^2 4b ablation can wedge a degraded tunnel for the
+            # rest of the window (observed 2026-08-20: hung in a
+            # device_get fetch; the SIGINT-preserved record lost only
+            # the rows after this point).
+            growth_dev = measure_growth_device()
+            print(f"[growth-device {growth_dev['m']}^2] "
+                  f"{growth_dev['growth_device_ms']:.1f} ms device-side",
+                  flush=True)
             ablation_4b = measure_4b_ablation()
             for row in ablation_4b:
                 print(f"[4b-ablation] {row['stage']}: "
                       f"cum {row['cum_ms']:.2f} ms "
                       f"(+{row['delta_ms']:.2f})", flush=True)
-            growth_dev = measure_growth_device()
-            print(f"[growth-device {growth_dev['m']}^2] "
-                  f"{growth_dev['growth_device_ms']:.1f} ms device-side",
-                  flush=True)
 
         for (m, n, k), panel, block, pivot, cand in sweep:
             r = measure_rrqr(m, n, k, panel, block=block, pivot=pivot,
