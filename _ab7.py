@@ -58,9 +58,10 @@ a = df_from_f64(stack)
 keys = jax.random.split(jax.random.key(12), nb7)
 # l=67 (round_rank 57 + oversample 10), total=134 — the scheduler's widths
 
-def run_b(cm, pi):
+def run_b(cm, pi, rr=1):
     q, bb = _fused_capture_vmapped(a.hi, a.lo, keys, l=67, power_iters=pi,
-                                   refine_rounds=1, terms=7, total=134,
+                                   refine_rounds=rr, terms=7,
+                                   total=min(67 * (1 + rr), 256),
                                    cut_merge=cm)
     b64 = df_to_f64(bb)
     q64 = df_to_f64(q)
@@ -74,15 +75,14 @@ def run_b(cm, pi):
         r_ = np.linalg.norm(stack[i] - rec) / np.linalg.norm(stack[i])
         if r_ > worst:
             worst, wi = r_, i
-    print(f"B vmapped cut={cm} pi={pi}: worst {worst:.3e} at block {wi} "
-          f"(cut rank {cut_ranks[wi]}, median {int(np.median(cut_ranks))})",
-          flush=True)
+    print(f"B vmapped cut={cm} pi={pi} rr={rr}: worst {worst:.3e} at "
+          f"block {wi} (cut rank {cut_ranks[wi]}, "
+          f"median {int(np.median(cut_ranks))})", flush=True)
     return wi
 
 
-for cm in (True, False):
-    wi = run_b(cm, 1)
-run_b(True, 2)  # do MORE power iterations rescue the weak directions?
+wi = run_b(True, 1)
+run_b(True, 1, rr=2)  # the round-4 third round: recaptures the miss?
 
 # --- C: single-block fused on the worst block ------------------------------
 out = highacc.refined_rsvd_fused(blocks7[int(wi)],

@@ -434,6 +434,21 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             stack[s_, 0, 0] = 1.0
         mode_kw = (dict(growth_block=l_chunk) if growth else
                    dict(round_rank=max(l_chunk - oversample, 1)))
+        if not growth and "refine_rounds" not in kwargs:
+            # THREE capture rounds per chunk when capacity permits
+            # (round 4): the TPU's bf16 f32-rounds leave a sketch-luck
+            # tail — worst (block, key) pairs miss the spectral-cut
+            # optimum 5-8x at two rounds (bench config 7 vmapped A/B:
+            # worst 8.0e-8 vs CPU's 8.3e-9 at identical keys; cut-merge
+            # and power-iteration sweeps ruled out). The DF residual
+            # recurrence is exact, so a third round samples exactly the
+            # missed mass: ~+40% device time per chunk versus per-block
+            # host-route repair storms at the 2*tol trigger. Chunks
+            # where 3 rounds would saturate a tall frame (begin's
+            # l*(1+rr) >= n pre-route — the round-3 40 s/block path)
+            # stay at 2 rounds; explicit user refine_rounds wins.
+            mode_kw["refine_rounds"] = (
+                1 if bm > bn and 3 * l_chunk >= bn else 2)
         t0 = time.perf_counter()
         h = refined_fused_batch_begin(
             stack, jax.random.fold_in(key, gi * 100003 + c0),
