@@ -33,6 +33,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # A timeout/driver SIGTERM must still reach the finally-block: the
+    # configs that DID complete are the window's evidence (same
+    # insurance as bench_kernels).
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
