@@ -113,6 +113,19 @@ def main(argv=None) -> int:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    # Persistent compilation cache (round 5): each distinct vmapped
+    # chunk shape is a ~0.5-2.5 min tunnel compile, and a volume stream
+    # touches dozens of them — with the cache they are paid ONCE across
+    # every window/resume instead of once per process. Probed working
+    # on the axon backend (cold 3.0 s -> warm 0.7 s on the first
+    # program). Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from . import io as rcio
     from .parallel.scheduler import compress_heterogeneous
     from .utils.logging import MetricsLogger

@@ -1508,8 +1508,16 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
         kfs.append(kf)
         oks.append(ok)
     # One vmapped apply at the padded max rank; per-block slice on host.
+    # The pad width is quantized UP to a power of two: kmax is
+    # data-dependent (max truncation rank of the chunk), and every
+    # distinct width is a fresh compile of the apply program — through
+    # the TPU tunnel that is 0.5-2.5 min per width, which dominated the
+    # round-4 volume stream. Power-of-two keys bound the compile count
+    # at log2(L) per (nb, m) bucket.
     kmax = max(kfs) if kfs else 0
-    uh_pad = np.zeros((nb, uh.shape[1], kmax), dtype=uh.dtype)
+    kq = min(1 << max(kmax - 1, 0).bit_length(), uh.shape[1]) if kmax else 0
+    kq = max(kq, 1)
+    uh_pad = np.zeros((nb, uh.shape[1], kq), dtype=uh.dtype)
     for i, kf in enumerate(kfs):
         uh_pad[i, :, :kf] = uh[i][:, :kf]
     w_df = df_from_f64(uh_pad)
@@ -1519,7 +1527,13 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
     u = jax.vmap(lambda qh, ql, w_hi, w_lo: _apply_right(
         DF(qh, ql), DF(w_hi, w_lo), terms, DEFAULT_SLICES_DF))(
             q.hi, q.lo, w_df.hi, w_df.lo)
-    return [RefinedSVD(DF(u.hi[i, :, :kf], u.lo[i, :, :kf]),
+    # ONE batched fetch for the whole chunk: per-block device slices +
+    # df_to_f64 each paid a full tunnel flush (25 ms-1.5 s) — at volume
+    # that was ~2 flushes PER BLOCK and the #1 stream wall. Host-backed
+    # DF slices keep to_f64()/factored-apply semantics with zero
+    # further device traffic.
+    u_hi, u_lo = jax.device_get((u.hi, u.lo))
+    return [RefinedSVD(DF(u_hi[i, :, :kf], u_lo[i, :, :kf]),
                        s[i, :kf], vt[i, :kf, :], (), tol_ok=oks[i],
                        opt_resid=float(np.sqrt((s[i, kf:] ** 2).sum())
                                        / np.linalg.norm(s[i])))

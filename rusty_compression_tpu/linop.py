@@ -76,6 +76,19 @@ class LinearOperator:
         """Materialize the operator as a dense matrix (A @ I)."""
         return self.matmat(jnp.eye(self.ncols, dtype=self.dtype))
 
+    def has_cheap_dense(self) -> bool:
+        """True when ``to_dense`` is a cheap view/gather rather than the
+        derived full-read fallback ``matmat(eye(n))``.
+
+        Dispatch point for bandwidth-sensitive consumers (the one-read
+        sketched IDs gather k columns via a one-hot product when this
+        is False instead of materializing the operator). A subclass
+        that overrides ``to_dense`` is cheap by definition; wrappers
+        whose dense view delegates (``AdjointOperator``) override this
+        to ask the wrapped operator.
+        """
+        return type(self).to_dense is not LinearOperator.to_dense
+
     # -- operator algebra sugar ---------------------------------------------
     def __matmul__(self, other):
         if isinstance(other, LinearOperator) or (
@@ -426,13 +439,16 @@ class AdjointOperator(LinearOperator):
     def conj_matmat(self, x):
         return self.op.matmat(x)
 
-    def __getattr__(self, name):
-        # Surface the wrapped operator's dense view (conjugate-
-        # transposed) when it has one — cheap column gathers on the
-        # adjoint (sampling.sketched_row_id) stay gathers.
-        if name == "to_dense" and hasattr(self.op, "to_dense"):
-            return lambda: herm(self.op.to_dense())
-        raise AttributeError(name)
+    def to_dense(self):
+        # Conjugate-transposed dense view of the wrapped operator —
+        # cheap when the inner operator's is (sampling.sketched_row_id
+        # stays a k-column gather). A __getattr__ hook here was dead
+        # code (ADVICE r4): normal lookup finds the inherited method
+        # first, so __getattr__ never fires.
+        return herm(self.op.to_dense())
+
+    def has_cheap_dense(self) -> bool:
+        return self.op.has_cheap_dense()
 
     def tree_flatten(self):
         return (self.op,), None

@@ -460,7 +460,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     prev_ready = [0.0]
 
     def collect(work):
-        """Finish one chunk: host SVD tail + per-block f64 verify."""
+        """Finish one chunk: host SVD tail + batched f64 verify."""
         h, stack, chunk, bm, bn, l_chunk, t0, t_enq = work
         outs = refined_fused_batch_finish(h)
         t_ready = time.perf_counter()
@@ -468,18 +468,41 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         dev_block = (t_ready - max(prev_ready[0], t_enq)) / max(
             len(chunk), 1)
         prev_ready[0] = t_ready
+
+        # Batched verification (round 5, VERDICT r4 next #2): ONE
+        # stacked f64 matmul reconstructs the whole chunk — the factors
+        # come back host-backed from refined_fused_batch_finish, so the
+        # per-block to_f64/GEMM loop (and its per-block tunnel flushes)
+        # is gone. Norms compare against the already-packed stack
+        # (same bytes as the source block, no mmap re-read).
+        live = [s_ for s_, i in enumerate(chunk)
+                if not is_pre_routed(i, l_chunk, bm, bn)]
+        errs: dict[int, float] = {}
+        if live:
+            kq = max(max(outs[s_].rank for s_ in live), 1)
+            wd = stack.dtype
+            u_st = np.zeros((len(live), bm, kq), dtype=wd)
+            svt_st = np.zeros((len(live), kq, bn), dtype=wd)
+            for j, s_ in enumerate(live):
+                u64, s64, vt64 = outs[s_].to_f64()
+                kf = s64.shape[0]
+                u_st[j, :, :kf] = u64
+                svt_st[j, :kf, :] = s64[:, None] * vt64
+            rec = u_st @ svt_st
+            for j, s_ in enumerate(live):
+                m, n = shapes[chunk[s_]]
+                bnorm = np.linalg.norm(stack[s_, :m, :n])
+                rnorm = np.linalg.norm(rec[j, :m, :n]
+                                       - stack[s_, :m, :n])
+                errs[s_] = (float(rnorm / bnorm) if bnorm > 0
+                            else (0.0 if rnorm == 0 else np.inf))
         for s_, i in enumerate(chunk):
             m, n = shapes[i]
-            b = np.asarray(blocks[i])
+            b = None  # unpadded host block, materialized on demand
             pre_routed = is_pre_routed(i, l_chunk, bm, bn)
             out = outs[s_]
-            if not pre_routed:
-                u64, s64, vt64 = out.to_f64()
-                u64, vt64 = u64[:m, :], vt64[:, :n]
-                rec = u64 @ (s64[:, None] * vt64)
-                err = float(np.linalg.norm(rec - b) / np.linalg.norm(b))
-            else:
-                err = np.inf  # force the host path below
+            # pre-routed slots force the host path below
+            err = errs.get(s_, np.inf)
             w, dev_w = wall, dev_block
             failure = None
 
@@ -497,8 +520,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             # are re-run through the exact host route instead of
             # shipping at the gate boundary.
             def _opt(o):
+                # non-finite guard (ADVICE r4): an all-zero block's
+                # opt_resid is 0/0 = nan; a nan here would make the
+                # acceptance gate silently pass — treat it as 0.0 so
+                # the plain 5*tol gate applies.
                 v = getattr(o, "opt_resid", None)
-                return 0.0 if v is None else float(v)
+                return float(v) if v is not None and np.isfinite(v) else 0.0
 
             def needs_repair(e, o):
                 return e > max(REPAIR_TOL_FACTOR * rel_tol,
@@ -513,6 +540,8 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 # the 2e-4-class misses of the first 1k-block stream
                 # run). Unreachable tolerances fall through to growth.
                 t0f = time.perf_counter()
+                if b is None:
+                    b = np.asarray(blocks[i])
                 try:
                     out = refined_rsvd(b, keys[i],
                                        round_rank=round_rank,
@@ -538,6 +567,8 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 # tolerance is CONTAINED: the error is recorded and the
                 # best capture's full-rank factors are kept.
                 t0g = time.perf_counter()
+                if b is None:
+                    b = np.asarray(blocks[i])
                 try:
                     out = refined_rsvd(
                         b, jax.random.fold_in(keys[i], 1), tol=rel_tol,
@@ -567,6 +598,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                            f"max(5x{rel_tol:g}, {OPT_SLACK}x optimal "
                            f"{_opt(out):.3e}) gate after fixed-round and "
                            "growth fallbacks")
+            # factors for the record: host f64, sliced to content dims
+            # (host-backed after the batch fetch — no device traffic)
+            u64, s64, vt64 = out.to_f64()
+            u64, vt64 = u64[:m, :], vt64[:, :n]
             results[i] = BlockResult(
                 index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
                 rel_residual=err, wall_time_s=w,

@@ -434,14 +434,26 @@ def sketched_column_id(op, key, rank: int, oversample: int = 8,
     op = as_linear_operator(op)
     m, n = op.shape
     l = min(rank + oversample, m, n)
-    g_h = random_gaussian(key, (m, l), dtype=op.dtype)  # G^H
-    s = herm(op.conj_matmat(g_h))                       # (l, n) = G A
-    qr_s = QR.compute_from(s, max_rank=min(rank, l), key=key, **qr_kwargs)
+    # independent subkeys for the sketch and the QRCP's randomized
+    # panel selection (ADVICE r4: a shared key correlates the two
+    # Gaussian streams the sketched-ID analysis assumes independent);
+    # an explicit caller key= wins for the QRCP
+    k_sketch, k_qr = jax.random.split(key)
+    k_qr = qr_kwargs.pop("key", k_qr)
+    g_h = random_gaussian(k_sketch, (m, l), dtype=op.dtype)  # G^H
+    s = herm(op.conj_matmat(g_h))                            # (l, n) = G A
+    qr_s = QR.compute_from(s, max_rank=min(rank, l), key=k_qr, **qr_kwargs)
     cid_s = qr_s.column_id()   # z + col_ind from the sketch; c discarded
     piv = cid_s.col_ind[:cid_s.rank]
-    if hasattr(op, "to_dense"):
+    if op.has_cheap_dense():
         c = jnp.take(op.to_dense(), piv, axis=1)
-    else:  # matrix-free: k columns via a one-hot selector product
+    else:
+        # matrix-free: k columns via a one-hot selector product — a
+        # k-column read instead of a second full-operator
+        # materialization (ADVICE r4: hasattr(op, 'to_dense') was
+        # always True — the base protocol derives a dense fallback —
+        # so this branch was unreachable and matvec-only operators
+        # paid a second full read)
         sel = jax.nn.one_hot(piv, n, dtype=op.dtype).T  # (n, k)
         c = op.matmat(sel)
     return ColumnID(c=c, z=cid_s.z, col_ind=cid_s.col_ind)

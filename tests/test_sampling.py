@@ -451,13 +451,30 @@ class TestSketchedID:
     def test_matrix_free_operator(self, key, dtype):
         """The one-hot gather path: a matvec-only FunctionOperator."""
         a = self._fixture(key, dtype)
+        widths: list[int] = []
+
+        def matvec(x):
+            return a @ x
+
         op = rc.FunctionOperator(
-            lambda x: a @ x, a.shape, dtype=a.dtype,
+            matvec, a.shape, dtype=a.dtype,
             conj_matvec=lambda x: jnp.conj(a).T @ x)
+        orig_matmat = type(op).matmat
+
+        def counting_matmat(self_, x):
+            widths.append(int(x.shape[1]))
+            return orig_matmat(self_, x)
+
+        op.matmat = counting_matmat.__get__(op)
+        assert not op.has_cheap_dense()  # matvec-only: no dense view
         k = 30
         cid = rc.sketched_column_id(op, jax.random.key(4), rank=k)
         err = float(rc.rel_diff_fro(cid.to_mat(), a))
         assert err < 10 * _sigma_min(dtype) ** (k / 89)
+        # the one-read contract (ADVICE r4): the forward operator is
+        # only ever applied at gather width k — never materialized via
+        # the derived to_dense (= matmat at full width ncols)
+        assert widths and max(widths) <= k, widths
 
     def test_jit_vmap_clean(self, key, dtype):
         """Static shapes end-to-end: the batched one-read route."""
