@@ -124,6 +124,18 @@ class DenseOperator(LinearOperator):
     """
 
     def __init__(self, a):
+        import numpy as np
+
+        if np.iscomplexobj(a) and not isinstance(a, jnp.ndarray):
+            from .utils.backend import backend_accepts_complex
+
+            if not backend_accepts_complex():
+                # transparent complex dispatch: the device rejects
+                # complex dtypes, so the operator stays a host numpy
+                # array and every product runs on host (the factor
+                # containers it feeds are host-backed too)
+                self.a = np.asarray(a)
+                return
         self.a = jnp.asarray(a)
 
     @property
@@ -285,7 +297,9 @@ def as_linear_operator(op) -> LinearOperator:
     if isinstance(op, _jsparse.JAXSparse):
         return SparseOperator(op)
     try:
-        return DenseOperator(jnp.asarray(op))
+        # DenseOperator's own init decides host vs device placement
+        # (complex on complex-rejecting devices stays host numpy)
+        return DenseOperator(op)
     except (TypeError, ValueError) as e:
         raise TypeError(
             f"cannot interpret {type(op).__name__} as a linear operator; "

@@ -21,6 +21,7 @@ import numpy as np
 from ..linop import as_linear_operator
 from ..ops.pivoted_qr import pivoted_lq, pivoted_qr
 from ..ops.triangular import solve_upper_triangular
+from ..utils.backend import use_host_complex as _host_complex
 from ..utils.dtypes import herm
 from ..utils.errors import CompressionError
 from ..utils.precision import with_precision
@@ -134,7 +135,8 @@ class QR:
         lifts Q back: the dense factorization only ever touches the sketch.
         """
         op = as_linear_operator(op)
-        range_ = jnp.asarray(range_)
+        range_ = (np.asarray(range_) if _host_complex(range_)
+                  else jnp.asarray(range_))
         b = herm(op.conj_matmat(range_))
         qr_b = cls.compute_from(b, **kwargs)
         return cls(range_ @ qr_b.q, qr_b.r, qr_b.ind)
@@ -158,8 +160,9 @@ class QR:
         """Truncate before the first ``|r_ii / r_00| < tol``; raise
         ``CompressionError`` if the diagonal never drops below ``tol``
         (qr.rs:186-200)."""
-        d = jnp.diagonal(self.r)
-        ratios = jnp.abs(d / d[0])
+        xp = np if isinstance(self.r, np.ndarray) else jnp
+        d = xp.diagonal(self.r)
+        ratios = xp.abs(d / d[0])
         pos = _tolerance_position(ratios, tol)
         if pos is None:
             raise CompressionError(
@@ -202,18 +205,19 @@ class QR:
         ``Z = [I | R11^{-1} R12]`` (one batched triangular solve instead of
         the reference's per-column loop), inverse-permuted; ``C = Q R11``.
         """
+        xp = np if isinstance(self.r, np.ndarray) else jnp
         rank, ncols = self.rank, self.ncols
         if rank == ncols:
             c = self.q @ self.r
             z = apply_matrix_permutation(
-                jnp.eye(rank, dtype=self.r.dtype), self.ind,
+                xp.eye(rank, dtype=self.r.dtype), self.ind,
                 MatrixPermutationMode.COLINV)
             return ColumnID(c, z, self.ind)
         r11 = self.r[:, :rank]
         c = self.q @ r11
         z_tail = solve_upper_triangular(r11, self.r[:, rank:])
-        z = jnp.concatenate(
-            [jnp.eye(rank, dtype=self.r.dtype), z_tail], axis=1)
+        z = xp.concatenate(
+            [xp.eye(rank, dtype=self.r.dtype), z_tail], axis=1)
         z = apply_matrix_permutation(
             z, self.ind, MatrixPermutationMode.COLINV)
         return ColumnID(c, z, self.ind)
@@ -278,8 +282,9 @@ class LQ:
     def compress_lq_tolerance(self, tol: float) -> "LQ":
         """Mirror of ``QR.compress_qr_tolerance`` on the L diagonal
         (qr.rs:97-111)."""
-        d = jnp.diagonal(self.l)
-        ratios = jnp.abs(d / d[0])
+        xp = np if isinstance(self.l, np.ndarray) else jnp
+        d = xp.diagonal(self.l)
+        ratios = xp.abs(d / d[0])
         pos = _tolerance_position(ratios, tol)
         if pos is None:
             raise CompressionError(
@@ -310,10 +315,11 @@ class LQ:
         Rank-deficient: ``X = [I; L21 L11^{-1}]`` via one batched
         right-hand triangular solve, inverse-row-permuted; ``R = L11 Q``.
         """
+        xp = np if isinstance(self.l, np.ndarray) else jnp
         rank, nrows = self.rank, self.nrows
         if rank == nrows:
             x = apply_matrix_permutation(
-                jnp.eye(rank, dtype=self.l.dtype), self.ind,
+                xp.eye(rank, dtype=self.l.dtype), self.ind,
                 MatrixPermutationMode.ROWINV)
             return RowID(x, self.l @ self.q, self.ind)
         l11 = self.l[:rank, :]
@@ -323,8 +329,8 @@ class LQ:
 
         x_tail = triangular_solve(l11, self.l[rank:, :], left_side=False,
                                   lower=True)
-        x = jnp.concatenate(
-            [jnp.eye(rank, dtype=self.l.dtype), x_tail], axis=0)
+        x = xp.concatenate(
+            [xp.eye(rank, dtype=self.l.dtype), x_tail], axis=0)
         x = apply_matrix_permutation(
             x, self.ind, MatrixPermutationMode.ROWINV)
         return RowID(x, r, self.ind)

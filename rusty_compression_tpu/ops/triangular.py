@@ -71,7 +71,22 @@ def triangular_inverse(r, lower: bool = False):
 def triangular_solve(r, b, *, left_side: bool = True, lower: bool = False,
                      method: str = "auto"):
     """Solve ``r @ x = b`` (``left_side``) or ``x @ r = b`` with
-    triangular ``r``; batched over leading axes like the XLA op."""
+    triangular ``r``; batched over leading axes like the XLA op.
+
+    Host numpy inputs stay on host (scipy ``trsm`` — the reference's
+    BLAS class): complex containers on complex-rejecting devices hold
+    numpy factors, and their conversions must not touch the device
+    (transparent complex dispatch, qr.rs:408-416 semantics).
+    """
+    import numpy as np
+
+    if isinstance(r, np.ndarray) and isinstance(b, np.ndarray) \
+            and r.ndim == 2 and b.ndim == 2:
+        from scipy.linalg import solve_triangular
+
+        if left_side:
+            return solve_triangular(r, b, lower=lower)
+        return solve_triangular(r.T, b.T, lower=not lower).T
     r = jnp.asarray(r)
     b = jnp.asarray(b)
     if _resolve(method) == "xla":

@@ -42,6 +42,11 @@ from .mesh import compress_blocks, compress_blocks_adaptive
 #: allows (flat-tailed spectra cannot reach 5*tol in Frobenius norm).
 OPT_SLACK = 1.25
 #: Repair trigger multiple of the tolerance: blocks above
+#: consecutive useless soft repairs before the stream stops
+#: margin-restoration repairs (hard acceptance-failure repairs are
+#: never disabled; see needs_repair in the refined stream driver)
+SOFT_REPAIR_LIMIT = 3
+
 #: max(REPAIR_TOL_FACTOR*tol, OPT_SLACK*opt) re-run through the exact
 #: host route (then growth) BEFORE the 5*tol acceptance gate — capture
 #: outliers are repaired to ~tol instead of shipping at the boundary.
@@ -458,6 +463,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         return (h, stack, chunk, bm, bn, l_chunk, t0, t_enq)
 
     prev_ready = [0.0]
+    # consecutive soft (margin-restoration) repairs that improved
+    # nothing; at SOFT_REPAIR_LIMIT the stream stops soft-repairing
+    # (see needs_repair below)
+    soft_state = {"fails": 0}
 
     def collect(work):
         """Finish one chunk: host SVD tail + batched f64 verify."""
@@ -527,9 +536,38 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 v = getattr(o, "opt_resid", None)
                 return float(v) if v is not None and np.isfinite(v) else 0.0
 
+            def _accept_thr(o):
+                return max(5 * rel_tol, OPT_SLACK * _opt(o))
+
             def needs_repair(e, o):
-                return e > max(REPAIR_TOL_FACTOR * rel_tol,
-                               OPT_SLACK * _opt(o))
+                # Repair policy (round 5). The round-4 rule
+                # ``e > max(2 tol, 1.25 opt)`` was knife-edged against
+                # flat-tailed blocks sitting AT their true optimum:
+                # the vmapped capture's ``opt_resid`` comes from its
+                # CAPACITY-LIMITED core spectrum and under-estimates a
+                # flat tail (measured opt ~2e-8 vs true ~4e-8 on the
+                # volume's admissible Laplace blocks), so ~half the
+                # stream triggered a ~30-dispatch host-route repair
+                # that landed at the SAME residual — 10-34 s per block
+                # through the tunnel, the #1 wall of the round-5
+                # volume resume. Two repair tiers now:
+                # * HARD (unconditional): the acceptance gate itself
+                #   would fail — no block is recorded failed without a
+                #   repair attempt.
+                # * SOFT (margin restoration, adaptive): capture
+                #   meaningfully above its own optimum estimate. After
+                #   SOFT_REPAIR_LIMIT consecutive soft repairs that
+                #   improved nothing (< 1.5x), the stream's spectra
+                #   are evidently flat-tailed at their optimum and
+                #   soft repairs disable for the rest of the stream.
+                if e > _accept_thr(o):
+                    return True
+                if soft_state["fails"] >= SOFT_REPAIR_LIMIT:
+                    return False
+                opt = _opt(o)
+                margin = opt + max(REPAIR_TOL_FACTOR * rel_tol,
+                                   0.1 * opt)
+                return e > margin
 
             if not growth and (pre_routed or
                                (out.tol_ok and needs_repair(err, out))):
@@ -542,6 +580,9 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 t0f = time.perf_counter()
                 if b is None:
                     b = np.asarray(blocks[i])
+                soft_only = (not pre_routed and np.isfinite(err)
+                             and err <= _accept_thr(out))
+                err_before = err
                 try:
                     out = refined_rsvd(b, keys[i],
                                        round_rank=round_rank,
@@ -550,6 +591,14 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                     rec = u64 @ (s64[:, None] * vt64)
                     err = float(np.linalg.norm(rec - b)
                                 / np.linalg.norm(b))
+                    if soft_only:
+                        # adaptive soft-repair budget: a repair that
+                        # landed within 1.5x of the capture proves the
+                        # capture was already at this spectrum's
+                        # optimum class
+                        soft_state["fails"] = (
+                            0 if err < err_before / 1.5
+                            else soft_state["fails"] + 1)
                 except CompressionError:
                     pass  # growth fallback decides
                 w += time.perf_counter() - t0f

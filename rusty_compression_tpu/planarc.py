@@ -49,6 +49,7 @@ import numpy as np
 from .linop import DenseOperator
 from .models.interp_decomp import ColumnID, RowID, TwoSidedID
 from .models.svd import SVD
+from .ops.pivoted_qr import qrcp_host
 from .sampling import range_finder
 from .utils.errors import CompressionError
 from .utils.precision import with_precision
@@ -139,44 +140,10 @@ def planar_rsvd(a, key, rank: int | None = None, tol: float | None = None,
                vt[:kf, :].astype(dt))
 
 
-def _np_qrcp(b: np.ndarray, k: int):
-    """Host column-pivoted QR of a small (l, n) complex core.
-
-    Greedy max-residual-norm pivoting + two-pass modified Gram-Schmidt
-    — the ``?geqp3`` contract (pivoted_qr.rs:187-190) at core sizes:
-    non-increasing ``|r_jj|``, 0-based full-length pivot vector.
-    Returns ``(q, r, ind)`` with ``q`` (l, k), ``r`` (k, n) upper
-    triangular over the permuted columns, ``b[:, ind] ~= q r``.
-
-    Runs in c128 regardless of the input dtype — this is the host-
-    LAPACK-class core work (the reference's z-kernels are f64), and MGS
-    in c64 loses orthogonality at ``eps_f32 * cond`` (measured 4e-3 on
-    a cond-4e4 ID skeleton factor, which wrecked the two-sided ID).
-    """
-    b = np.array(b, dtype=np.result_type(b.dtype, np.complex128))
-    l, n = b.shape
-    k = min(int(k), l, n)
-    ind = np.arange(n)
-    q = np.zeros((l, k), b.dtype)
-    bp = b.copy()
-    for j in range(k):
-        norms = np.einsum("ij,ij->j", bp[:, j:].conj(), bp[:, j:]).real
-        p = j + int(np.argmax(norms))
-        bp[:, [j, p]] = bp[:, [p, j]]
-        ind[[j, p]] = ind[[p, j]]
-        v = bp[:, j]
-        nv = np.linalg.norm(v)
-        if nv == 0.0:  # exactly rank-deficient tail: stop early
-            q = q[:, :j]
-            break
-        v = v / nv
-        for _ in range(2):  # two-pass MGS: orthogonal to working precision
-            bp[:, j:] -= np.outer(v, v.conj() @ bp[:, j:])
-        q[:, j] = v
-    kq = q.shape[1]
-    r = q.conj().T @ b[:, ind]
-    r = np.triu(r[:kq])
-    return q, r, ind
+# host ?geqp3-contract QRCP: shared with the transparent complex
+# dispatch (ops.pivoted_qr.qrcp_host, the complex route on
+# complex-rejecting devices)
+_np_qrcp = qrcp_host
 
 
 def planar_column_id(a, key, rank: int, oversample: int = 10,

@@ -50,7 +50,12 @@ def herm(x):
 
     Everywhere the reference says "transpose" it means conjugate transpose
     for complex scalars (the ``.t().map(conj)`` pattern, e.g. qr.rs:355).
+    Host numpy input stays numpy (a view, no copy/device transfer) —
+    containers holding host factors on complex-rejecting devices route
+    all their algebra through here.
     """
+    if isinstance(x, np.ndarray):
+        return np.conjugate(np.swapaxes(x, -1, -2))
     return jnp.conjugate(jnp.swapaxes(x, -1, -2))
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import enum
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "MatrixPermutationMode",
@@ -51,8 +52,14 @@ def invert_permutation_vector(perm):
     """Inverse of a permutation vector: if ``perm[i] = j`` then ``inv[j] = i``.
 
     Reference: ``permutation.rs:28-38``. Implemented as a scatter, which is
-    a single XLA op (vs. the reference's host loop).
+    a single XLA op (vs. the reference's host loop). Host numpy input
+    stays numpy (host-factor containers on complex-rejecting devices).
     """
+    if isinstance(perm, np.ndarray):
+        n = perm.shape[0]
+        inv = np.zeros((n,), dtype=perm.dtype)
+        inv[perm] = np.arange(n, dtype=perm.dtype)
+        return inv
     perm = jnp.asarray(perm)
     n = perm.shape[0]
     inv = jnp.zeros((n,), dtype=perm.dtype)
@@ -65,18 +72,24 @@ def apply_matrix_permutation(mat, perm, mode: MatrixPermutationMode):
     ``mode=COL``: ``out[..., :, i] = mat[..., :, perm[i]]`` (permutation.rs:95-105).
     ``mode=ROW``: ``out[..., i, :] = mat[..., perm[i], :]`` (permutation.rs:106-116).
     ``COLINV``/``ROWINV`` use the inverse permutation (permutation.rs:117-140).
+
+    A host numpy ``mat`` is permuted in numpy — containers holding host
+    factors (the complex route on complex-rejecting devices) never
+    touch the device through their conversions.
     """
-    perm = jnp.asarray(perm)
+    xp = np if isinstance(mat, np.ndarray) else jnp
+    perm = xp.asarray(perm)
     if mode in (MatrixPermutationMode.COLINV, MatrixPermutationMode.ROWINV):
         perm = invert_permutation_vector(perm)
     axis = -1 if mode in (MatrixPermutationMode.COL, MatrixPermutationMode.COLINV) else -2
-    return jnp.take(mat, perm, axis=axis)
+    return xp.take(mat, perm, axis=axis)
 
 
 def apply_vector_permutation(vec, perm, mode: VectorPermutationMode):
     """Permute a vector: ``out[i] = vec[perm[i]]`` (NOINV) or with the
     inverse permutation (INV). Reference: ``permutation.rs:147-184``."""
-    perm = jnp.asarray(perm)
+    xp = np if isinstance(vec, np.ndarray) else jnp
+    perm = xp.asarray(perm)
     if mode is VectorPermutationMode.INV:
         perm = invert_permutation_vector(perm)
-    return jnp.take(vec, perm, axis=-1)
+    return xp.take(vec, perm, axis=-1)

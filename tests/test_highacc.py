@@ -141,6 +141,51 @@ class TestGrowthCapture:
         assert out.rank >= 40
         assert out.residual_fro(a) < 5e-6
 
+    def test_tall_growth_is_fused(self):
+        # m > n runs the transposed fused program (round 5: one device
+        # dispatch, VERDICT r4 next #3) — rank discovery + accuracy
+        # must match the square route; the recomposed Q is exactly
+        # orthonormal (host f64 QR).
+        from rusty_compression_tpu.highacc import growth_capture_fused
+
+        a = decaying_matrix(15, 640, 256, decay_rank=60)
+        q, b64, hist, captured = growth_capture_fused(
+            a, jax.random.PRNGKey(15), tol=1e-8)
+        assert captured
+        q64 = df_to_f64(q)
+        assert np.abs(q64.T @ q64 - np.eye(q64.shape[1])).max() < 1e-12
+        rec = q64 @ b64
+        a64 = np.asarray(a, np.float64)
+        assert np.linalg.norm(rec - a64) / np.linalg.norm(a64) < 5e-8
+        # end-to-end through refined_rsvd: rank discovered at crossing
+        out = refined_rsvd(a, jax.random.PRNGKey(16), tol=1e-8)
+        # sigma_i = 10^(-10 i/59) crosses 1e-8 at i = 48
+        assert 46 <= out.rank <= 50
+        assert out.residual_fro(a) < 5e-8
+
+    def test_complex_growth_is_fused(self):
+        # complex inputs realify into the (2m, 2n) planar frame and run
+        # the SAME real fused program (round 5); basis recovered on
+        # host, residual contract unchanged. Uses the c128 class (CPU).
+        from rusty_compression_tpu.highacc import growth_capture_fused
+
+        rng = np.random.default_rng(17)
+        u = np.linalg.qr(rng.standard_normal((220, 220))
+                         + 1j * rng.standard_normal((220, 220)))[0]
+        v = np.linalg.qr(rng.standard_normal((180, 180))
+                         + 1j * rng.standard_normal((180, 180)))[0]
+        sig = np.zeros(180)
+        sig[:80] = 10.0 ** (-10 * np.arange(80) / 79)
+        a = (u[:, :180] * sig) @ v.conj().T
+        q, b64, hist, captured = growth_capture_fused(
+            a, jax.random.PRNGKey(17), tol=1e-8)
+        assert captured
+        q64 = df_to_f64(q)
+        assert np.abs(q64.conj().T @ q64
+                      - np.eye(q64.shape[1])).max() < 1e-10
+        rec = q64 @ b64
+        assert (np.linalg.norm(rec - a) / np.linalg.norm(a)) < 5e-8
+
     def test_output_types(self):
         a = decaying_matrix(6, 256, 192, decay_rank=60)
         out = refined_rsvd(a, jax.random.PRNGKey(6), rank=70,
@@ -561,6 +606,43 @@ class TestBatchedGrowth:
         assert 29 <= outs[2].rank <= 34, outs[2].rank
         for o, b in zip(outs, blocks):
             assert o.tol_ok
+            assert o.residual_fro(b) < 5e-8
+
+    def test_tall_stack_batched(self):
+        # TALL stacks run the transposed vmapped growth (round 5):
+        # per-block rank discovery + host recompose, no per-block
+        # pipeline fallback. Factors come back host-backed.
+        from rusty_compression_tpu.highacc import refined_rsvd_fused_batch
+        blocks = np.stack([decaying_matrix(45, 320, 160, decay_rank=40),
+                           decaying_matrix(46, 320, 160, decay_rank=80)])
+        outs = refined_rsvd_fused_batch(blocks, jax.random.PRNGKey(45),
+                                        tol=1e-8)
+        assert 29 <= outs[0].rank <= 34, outs[0].rank
+        assert 61 <= outs[1].rank <= 68, outs[1].rank
+        for o, b in zip(outs, blocks):
+            assert o.tol_ok
+            assert o.residual_fro(b) < 5e-8
+            u64 = df_to_f64(o.u)
+            assert np.abs(u64.T @ u64
+                          - np.eye(u64.shape[1])).max() < 1e-10
+
+    def test_tall_saturated_fixed_round_redirects_to_growth(self):
+        # fixed-round capacity >= n on a TALL stack used to route
+        # per-block host pipelines (10-40 s/block through the tunnel);
+        # with a tolerance, it now runs the transposed vmapped growth
+        # (round 5) — one device program, same accuracy contract.
+        from rusty_compression_tpu import highacc as ha
+
+        blocks = np.stack([decaying_matrix(47, 320, 96, decay_rank=30),
+                           decaying_matrix(48, 320, 96, decay_rank=50)])
+        h = ha.refined_fused_batch_begin(
+            blocks, jax.random.PRNGKey(47), tol=1e-8, round_rank=64,
+            on_unreachable="mark")
+        assert h["mode"] == "growth_tall", h["mode"]
+        outs = ha.refined_fused_batch_finish(h)
+        assert 22 <= outs[0].rank <= 26, outs[0].rank
+        assert 38 <= outs[1].rank <= 42, outs[1].rank
+        for o, b in zip(outs, blocks):
             assert o.residual_fro(b) < 5e-8
 
     def test_unreachable_marked(self):

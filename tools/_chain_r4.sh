@@ -14,7 +14,7 @@ for i in $(seq 1 48); do
   if probe; then
     echo "== $(date -u +%T) healthy ($i) phase=$PHASE ==" >> "$LOG"
     if [ "$PHASE" = ab7 ]; then
-      timeout 2400 python _ab7.py >> "$LOG" 2>&1 && PHASE=volume
+      timeout 2400 python tools/_ab7.py >> "$LOG" 2>&1 && PHASE=volume
     fi
     if [ "$PHASE" = volume ]; then
       if probe; then

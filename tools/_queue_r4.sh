@@ -17,7 +17,7 @@ for i in $(seq 1 60); do
   if probe; then
     echo "== $(date -u +%T) healthy (attempt $i) phase=$PHASE ==" >> "$LOG"
     if [ "$PHASE" = ab ]; then
-      timeout 1500 python _ab4b.py >> "$LOG" 2>&1 && PHASE=bench
+      timeout 1500 python tools/_ab4b.py >> "$LOG" 2>&1 && PHASE=bench
     fi
     if [ "$PHASE" = bench ]; then
       if probe; then
