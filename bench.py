@@ -234,15 +234,24 @@ def main():
             log(f"fused tol-1e-8 extra skipped: {ex!r}")
 
     vs_baseline = 1.0
+    cpu_spread = None
     if CPU_BASELINE:
+        # median-of-3 + recorded spread (VERDICT r4 next #7): a single
+        # un-averaged numpy/LAPACK run swung the headline comparative
+        # 155x -> 97x on denominator noise alone
         a_host = np.asarray(jax.device_get(a))
         rng = np.random.default_rng(0)
-        t0 = time.perf_counter()
-        cpu_reference_rsvd(a_host, RANK, OVERSAMPLE, POWER_ITERS, rng)
-        t_cpu = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cpu_reference_rsvd(a_host, RANK, OVERSAMPLE, POWER_ITERS, rng)
+            runs.append(time.perf_counter() - t0)
+        t_cpu = float(np.median(runs))
+        cpu_spread = round((max(runs) - min(runs)) / t_cpu, 3)
         vs_baseline = t_cpu / t_tpu
-        log(f"reference-style numpy/LAPACK pipeline: {t_cpu*1e3:.1f} ms "
-            f"-> speedup {vs_baseline:.1f}x")
+        log(f"reference-style numpy/LAPACK pipeline: median "
+            f"{t_cpu*1e3:.1f} ms of {[round(r*1e3) for r in runs]} "
+            f"(spread {cpu_spread:.0%}) -> speedup {vs_baseline:.1f}x")
 
     fallback = os.environ.get("RC_BENCH_FALLBACK") == "1"
     name = f"rsvd_{M}x{N}_k{RANK}_q{POWER_ITERS}_f32_compression_throughput"

@@ -126,6 +126,15 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+    if os.environ.get("RC_CHUNK_LOG"):
+        import logging
+
+        h = logging.StreamHandler()
+        h.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        lg = logging.getLogger("rusty_compression_tpu.scheduler")
+        lg.addHandler(h)
+        lg.setLevel(logging.INFO)
+
     from . import io as rcio
     from .parallel.scheduler import compress_heterogeneous
     from .utils.logging import MetricsLogger

@@ -1625,6 +1625,11 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
     if h["mode"] == "per_block":
         return per_block()
 
+    import logging
+    import time as _time
+
+    _flog = logging.getLogger("rusty_compression_tpu.scheduler.chunks")
+    _t0 = _time.perf_counter()
     try:
         b64 = df_to_f64(h["b"])  # synchronizes; async errors surface here
     except jax.errors.JaxRuntimeError as ex:
@@ -1633,6 +1638,21 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
         warnings.warn(f"vmapped fused capture failed at fetch ({ex}); "
                       "falling back to per-block pipelines", RuntimeWarning)
         return per_block()
+    _t_fetch = _time.perf_counter()
+    # Non-finite lanes (observed on the TPU tunnel: a capture lane can
+    # come back nan under degraded-backend numerics) would blow up the
+    # BATCHED host SVD ("SVD did not converge" kills the whole chunk).
+    # Sanitize the lane and re-run just those blocks per-block below.
+    nb_ = b64.shape[0]
+    bad = ~np.isfinite(b64.reshape(nb_, -1)).all(axis=1)
+    if bad.any():
+        import warnings
+
+        warnings.warn(f"{int(bad.sum())}/{nb_} capture lanes non-finite; "
+                      "re-running those blocks per-block", RuntimeWarning)
+        b64 = b64.copy()
+        b64[bad] = 0.0
+        b64[bad, 0, 0] = 1.0
     q, nb = h["q"], h["nb"]
     # growth mode: per-block measured capture residuals authorize the
     # keep-all path (the crossing sits exactly at the capture rank)
@@ -1646,13 +1666,29 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
         # QR of the live columns, B = R Q_r_live^T. The final factors
         # are assembled fully on host (no device apply needed).
         q_r64 = df_to_f64(q)                       # (nb, n, cap)
+        qbad = ~np.isfinite(q_r64.reshape(nb_, -1)).all(axis=1)
+        if qbad.any():
+            bad |= qbad
+            q_r64 = q_r64.copy()
+            q_r64[qbad] = 0.0
+            b64[qbad] = 0.0
+            b64[qbad, 0, 0] = 1.0
         cnt = np.asarray(jax.device_get(h["cnt"]))
         cap = b64.shape[1]
         live = int(max(min(int(cnt.max()), cap), 1))
         y = b64.transpose(0, 2, 1)[:, :, :live]    # (nb, m, live)
         qy_host, ry = np.linalg.qr(y)
         b64 = ry @ q_r64.transpose(0, 2, 1)[:, :live, :]
-    uh, s, vt = np.linalg.svd(b64, full_matrices=False)  # batched f64
+    _t_recompose = _time.perf_counter()
+    try:
+        uh, s, vt = np.linalg.svd(b64, full_matrices=False)  # batched f64
+    except np.linalg.LinAlgError:
+        import warnings
+
+        warnings.warn("batched core SVD did not converge; falling back "
+                      "to per-block pipelines", RuntimeWarning)
+        return per_block()
+    _t_svd = _time.perf_counter()
     kfs, oks = [], []
     for i in range(nb):
         kf, ok = s.shape[1], True
@@ -1706,11 +1742,37 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
         # stream wall. Host-backed DF slices keep to_f64()/factored-
         # apply semantics with zero further device traffic.
         u_hi, u_lo = jax.device_get((u.hi, u.lo))
-    return [RefinedSVD(DF(u_hi[i, :, :kf], u_lo[i, :, :kf]),
+    _flog.info(
+        "finish mode=%s nb=%d core=%s fetch_b=%.2fs recompose=%.2fs "
+        "svd=%.2fs apply+fetch_u=%.2fs", h["mode"], nb, b64.shape,
+        _t_fetch - _t0, _t_recompose - _t_fetch, _t_svd - _t_recompose,
+        _time.perf_counter() - _t_svd)
+
+    def _norm_or_1(x):
+        v = np.linalg.norm(x)
+        return v if v > 0 else 1.0
+
+    outs = [RefinedSVD(DF(u_hi[i, :, :kf], u_lo[i, :, :kf]),
                        s[i, :kf], vt[i, :kf, :], (), tol_ok=oks[i],
                        opt_resid=float(np.sqrt((s[i, kf:] ** 2).sum())
-                                       / np.linalg.norm(s[i])))
+                                       / _norm_or_1(s[i])))
             for i, kf in enumerate(kfs)]
+    for i in np.nonzero(bad)[0]:
+        try:
+            outs[i] = refined_rsvd(
+                h["blocks"][i], h["keys"][i], rank=rank, tol=tol,
+                oversample=h["oversample"], power_iters=h["power_iters"],
+                refine_rounds=h["refine_rounds"], terms=terms,
+                round_rank=h["round_rank"])
+        except CompressionError:
+            if not mark:
+                raise
+            outs[i] = refined_rsvd(
+                h["blocks"][i], h["keys"][i], rank=rank,
+                oversample=h["oversample"], power_iters=h["power_iters"],
+                refine_rounds=h["refine_rounds"], terms=terms,
+                round_rank=h["round_rank"])._replace(tol_ok=False)
+    return outs
 
 
 def refined_rsvd_fused_batch(blocks, key, **kwargs) -> list[RefinedSVD]:

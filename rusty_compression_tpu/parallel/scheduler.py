@@ -27,11 +27,16 @@ the reference implementation and the fallback.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Any, Sequence
 
 import jax
 import numpy as np
+
+#: per-chunk stage timings (pack/enqueue vs finish) + per-block repair
+#: events; enable with RC_CHUNK_LOG=1 (CLI) or standard logging config
+_chunk_log = logging.getLogger("rusty_compression_tpu.scheduler.chunks")
 
 from .batch import batched_rel_diff_fro
 from .mesh import compress_blocks, compress_blocks_adaptive
@@ -148,15 +153,30 @@ def _chunk_batch(count: int, granule: int, bm: int, bn: int,
     """
     from .. import native as _native
 
+    # Device-stack lane cap (round 5): the axon backend returns
+    # NON-FINITE results from large vmapped capture programs — measured
+    # cliff between 128 and 169 lanes of a (256, 512) f32 stack (64 vs
+    # 84 MB; nb<=128 all-finite, nb=169 -> 85/169 lanes nan,
+    # deterministic). Cap the per-program stack at the measured-good
+    # 64 MB so no chunk crosses it. Override via RC_DEVICE_CHUNK_MB.
+    import os as _os
+
+    cap_mb = float(_os.environ.get("RC_DEVICE_CHUNK_MB", 64))
+    cap_lanes = max(int(cap_mb * 1e6) // (bm * bn * 4 * granule),
+                    1) * granule
+    # belt-and-braces absolute lane cap (the cliff was measured on one
+    # shape only; 128 lanes is the largest batch verified finite)
+    cap_lanes = min(cap_lanes, max(128 // granule, 1) * granule)
+
     nb = _native.chunk_batch(count, granule, bm, bn, elem_size, budget_bytes)
     if nb is not None:
-        return nb
+        return min(nb, cap_lanes)
     padded = _batch_bucket(count, granule)
     if budget_bytes <= 0:
-        return padded
+        return min(padded, cap_lanes)
     granule_bytes = bm * bn * elem_size * granule
     fit = max(budget_bytes // granule_bytes, 1) * granule
-    return min(padded, fit)
+    return min(padded, fit, cap_lanes)
 
 
 def _unpad_factors(factors, i: int, m: int, n: int, method: str):
@@ -473,6 +493,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         h, stack, chunk, bm, bn, l_chunk, t0, t_enq = work
         outs = refined_fused_batch_finish(h)
         t_ready = time.perf_counter()
+        _chunk_log.info(
+            "chunk bucket=(%d,%d) l=%d n=%d mode=%s pack+enq=%.2fs "
+            "finish=%.2fs", bm, bn, l_chunk, len(chunk),
+            h.get("mode", "?"), t_enq - t0, t_ready - t_enq)
         wall = (t_ready - t0) / max(len(chunk), 1)
         dev_block = (t_ready - max(prev_ready[0], t_enq)) / max(
             len(chunk), 1)
@@ -583,6 +607,11 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 soft_only = (not pre_routed and np.isfinite(err)
                              and err <= _accept_thr(out))
                 err_before = err
+                _chunk_log.info(
+                    "repair block=%d shape=%s err=%.3e opt=%.3e "
+                    "kind=%s", i, (m, n), err, _opt(out),
+                    "pre_routed" if pre_routed
+                    else ("soft" if soft_only else "hard"))
                 try:
                     out = refined_rsvd(b, keys[i],
                                        round_rank=round_rank,

@@ -398,8 +398,9 @@ def nystrom_svd(op, key, k: int, oversample: int = 8,
 
 
 @with_precision
-def sketched_column_id(op, key, rank: int, oversample: int = 8,
-                       **qr_kwargs):
+def sketched_column_id(op, key, rank: int | None = None,
+                       oversample: int = 8, tol: float | None = None,
+                       max_rank: int | None = None, **qr_kwargs):
     """Column interpolative decomposition from ONE read of the operator.
 
     Semantics of the reference's ``QRTraits::column_id``
@@ -426,14 +427,33 @@ def sketched_column_id(op, key, rank: int, oversample: int = 8,
     subspace-embedding multiple of the RRQR-route error — tested
     against the same gates (test_sampling.py).
 
-    Returns a ``ColumnID``; jit/vmap-clean (static shapes).
+    **Tolerance mode** (``tol=`` instead of ``rank=``, VERDICT r4 next
+    #6): the sketch QRCP's diagonal carries the residual-decay signal —
+    for a Gaussian row sketch, ``|r_jj|`` tracks ``sigma_j(A)`` to
+    within the subspace-embedding distortion — so the truncation rank
+    comes from the reference's ``|r_jj / r_00| < tol`` rule
+    (qr.rs:186-200) applied to the *sketch*, with the cut tightened by
+    2x to absorb the sketched-LS error multiple. ``max_rank`` bounds
+    the sketch width (keeps tolerance mode one-read-cheap; default =
+    full ``min(m, n)``, the reference's factor-then-truncate shape).
+    A diagonal that never crosses the tightened cut raises
+    ``CompressionError`` (qr.rs:198 semantics).
+
+    Returns a ``ColumnID``; fixed-rank mode is jit/vmap-clean (static
+    shapes); tolerance mode slices at the host boundary.
     """
     from .models.interp_decomp import ColumnID  # deferred: models layer
     from .models.qr import QR                   # sits above sampling
 
+    if (rank is None) == (tol is None):
+        raise ValueError("pass exactly one of rank= or tol=")
     op = as_linear_operator(op)
     m, n = op.shape
-    l = min(rank + oversample, m, n)
+    if tol is not None:
+        cap = min(m, n) if max_rank is None else min(int(max_rank), m, n)
+        l = min(cap + oversample, m, n)
+    else:
+        l = min(rank + oversample, m, n)
     # independent subkeys for the sketch and the QRCP's randomized
     # panel selection (ADVICE r4: a shared key correlates the two
     # Gaussian streams the sketched-ID analysis assumes independent);
@@ -442,7 +462,14 @@ def sketched_column_id(op, key, rank: int, oversample: int = 8,
     k_qr = qr_kwargs.pop("key", k_qr)
     g_h = random_gaussian(k_sketch, (m, l), dtype=op.dtype)  # G^H
     s = herm(op.conj_matmat(g_h))                            # (l, n) = G A
-    qr_s = QR.compute_from(s, max_rank=min(rank, l), key=k_qr, **qr_kwargs)
+    qr_s = QR.compute_from(s, max_rank=(l if tol is not None
+                                        else min(rank, l)),
+                           key=k_qr, **qr_kwargs)
+    if tol is not None:
+        # reference spectral-cut rule on the sketch diagonal; the 0.5x
+        # tightening covers the sketched-LS multiple so the assembled
+        # ID still meets the 5*tol reconstruction gate
+        qr_s = qr_s.compress_qr_tolerance(0.5 * float(tol))
     cid_s = qr_s.column_id()   # z + col_ind from the sketch; c discarded
     piv = cid_s.col_ind[:cid_s.rank]
     if op.has_cheap_dense():
@@ -460,27 +487,34 @@ def sketched_column_id(op, key, rank: int, oversample: int = 8,
 
 
 @with_precision
-def sketched_row_id(op, key, rank: int, oversample: int = 8, **qr_kwargs):
+def sketched_row_id(op, key, rank: int | None = None, oversample: int = 8,
+                    tol: float | None = None, max_rank: int | None = None,
+                    **qr_kwargs):
     """Row interpolative decomposition from one read (mirror of
     ``sketched_column_id`` on ``A^H``; row_interp_decomp.rs semantics:
-    ``A ~= X R`` with ``R`` literal rows of ``A``)."""
+    ``A ~= X R`` with ``R`` literal rows of ``A``). ``tol=`` runs the
+    sketch-diagonal tolerance rule (see ``sketched_column_id``)."""
     from .linop import AdjointOperator
     from .models.interp_decomp import RowID  # deferred: models layer
 
     op = as_linear_operator(op)
     cid = sketched_column_id(AdjointOperator(op), key, rank, oversample,
-                             **qr_kwargs)
+                             tol=tol, max_rank=max_rank, **qr_kwargs)
     return RowID(x=herm(cid.z), r=herm(cid.c), row_ind=cid.col_ind)
 
 
 @with_precision
-def sketched_two_sided_id(op, key, rank: int, oversample: int = 8,
-                          **qr_kwargs):
+def sketched_two_sided_id(op, key, rank: int | None = None,
+                          oversample: int = 8, tol: float | None = None,
+                          max_rank: int | None = None, **qr_kwargs):
     """Two-sided interpolative decomposition from ONE read of the
     operator: ``sketched_column_id`` (one full-width sketch + k-column
     gather) followed by the standard LQ→row-ID of the (m, k) ``C``
     panel (col_interp_decomp.rs:116-130) — the row side only ever
     touches the k gathered columns. Skeleton/permutation contracts are
-    those of ``TwoSidedID`` (two_sided_interp_decomp.rs:9-10)."""
-    return sketched_column_id(op, key, rank, oversample,
+    those of ``TwoSidedID`` (two_sided_interp_decomp.rs:9-10).
+    ``tol=`` runs the sketch-diagonal tolerance rule (see
+    ``sketched_column_id``)."""
+    return sketched_column_id(op, key, rank, oversample, tol=tol,
+                              max_rank=max_rank,
                               **qr_kwargs).two_sided_id()

@@ -448,6 +448,49 @@ class TestSketchedID:
         np.testing.assert_allclose(np.asarray(ts.x), sk,
                                    rtol=tol, atol=tol * np.abs(sk).max())
 
+    def test_tolerance_mode(self, key, dtype):
+        """tol= picks the rank from the sketch QRCP diagonal (the
+        qr.rs:186-200 rule applied to the sketch; VERDICT r4 next #6):
+        rank lands at the spectrum crossing and the reconstruction
+        meets the 5x-tol-class gate."""
+        if dtype in (jnp.complex64, jnp.complex128):
+            pytest.skip("complex exercised via the planar route")
+        # deep spectrum for f64 (the suite's shared fixture floors at
+        # 1e-5, which a 1e-8 tolerance legitimately cannot reach)
+        floor = 1e-4 if np.dtype(dtype).itemsize <= 4 else 1e-10
+        a = rc.random_approximate_low_rank_matrix(
+            key, (120, 90), 1.0, floor, dtype=dtype)
+        tol = 1e-2 if np.dtype(dtype).itemsize <= 4 else 1e-8
+        ts = rc.sketched_two_sided_id(a, jax.random.key(6), tol=tol)
+        # crossing of sigma_i/sigma_0 = floor^(i/89) below tol/2
+        # (the tightened cut): i = 89 * log(tol/2) / log(floor)
+        import math
+        expect = 89 * math.log(0.5 * tol) / math.log(floor)
+        assert abs(ts.rank - expect) <= 6, (ts.rank, expect)
+        err = float(rc.rel_diff_fro(ts.to_mat(), a))
+        assert err < 5 * tol, err
+        # skeleton contract survives the tolerance route
+        sk = np.asarray(a)[np.ix_(np.asarray(ts.row_ind[:ts.rank]),
+                                  np.asarray(ts.col_ind[:ts.rank]))]
+        stol = 1e-3 if np.dtype(dtype).itemsize <= 4 else 1e-8
+        np.testing.assert_allclose(np.asarray(ts.x), sk, rtol=stol,
+                                   atol=stol * np.abs(sk).max())
+        # max_rank bounds the sketch width; an unreachable tolerance
+        # under that cap raises (qr.rs:198 semantics)
+        with pytest.raises(rc.CompressionError):
+            rc.sketched_column_id(a, jax.random.key(7), tol=tol,
+                                  max_rank=10)
+
+    def test_tolerance_mode_row_id(self, key, dtype):
+        if dtype in (jnp.complex64, jnp.complex128):
+            pytest.skip("complex exercised via the planar route")
+        floor = 1e-4 if np.dtype(dtype).itemsize <= 4 else 1e-10
+        a = rc.random_approximate_low_rank_matrix(
+            key, (120, 90), 1.0, floor, dtype=dtype)
+        tol = 1e-2 if np.dtype(dtype).itemsize <= 4 else 1e-8
+        rid = rc.sketched_row_id(a, jax.random.key(8), tol=tol)
+        assert float(rc.rel_diff_fro(rid.to_mat(), a)) < 5 * tol
+
     def test_matrix_free_operator(self, key, dtype):
         """The one-hot gather path: a matvec-only FunctionOperator."""
         a = self._fixture(key, dtype)
