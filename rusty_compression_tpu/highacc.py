@@ -1757,21 +1757,46 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
                        opt_resid=float(np.sqrt((s[i, kf:] ** 2).sum())
                                        / _norm_or_1(s[i])))
             for i, kf in enumerate(kfs)]
-    for i in np.nonzero(bad)[0]:
-        try:
-            outs[i] = refined_rsvd(
-                h["blocks"][i], h["keys"][i], rank=rank, tol=tol,
-                oversample=h["oversample"], power_iters=h["power_iters"],
-                refine_rounds=h["refine_rounds"], terms=terms,
-                round_rank=h["round_rank"])
-        except CompressionError:
-            if not mark:
-                raise
-            outs[i] = refined_rsvd(
-                h["blocks"][i], h["keys"][i], rank=rank,
-                oversample=h["oversample"], power_iters=h["power_iters"],
-                refine_rounds=h["refine_rounds"], terms=terms,
-                round_rank=h["round_rank"])._replace(tol_ok=False)
+    bad_idx = np.nonzero(bad)[0]
+    if len(bad_idx):
+        # Re-run the garbage lanes in SMALL vmapped sub-batches (<= 8
+        # lanes — the size class measured reliable throughout the
+        # degradation window) rather than per-block host pipelines
+        # (10-40 s/block through the tunnel). A lane still bad at
+        # sub-batch size falls through to the per-block route inside
+        # the recursive finish.
+        sub = 8
+        if nb > sub:
+            for c0 in range(0, len(bad_idx), sub):
+                ids = bad_idx[c0:c0 + sub]
+                hs = refined_fused_batch_begin(
+                    np.asarray(h["blocks"])[ids],
+                    jax.random.fold_in(jax.random.key(0x5A11), int(ids[0])),
+                    rank=rank, tol=tol, oversample=h["oversample"],
+                    power_iters=h["power_iters"],
+                    refine_rounds=h["refine_rounds"], terms=terms,
+                    round_rank=h["round_rank"],
+                    on_unreachable=h["on_unreachable"])
+                for j, o in zip(ids, refined_fused_batch_finish(hs)):
+                    outs[j] = o
+        else:
+            for i in bad_idx:
+                try:
+                    outs[i] = refined_rsvd(
+                        h["blocks"][i], h["keys"][i], rank=rank, tol=tol,
+                        oversample=h["oversample"],
+                        power_iters=h["power_iters"],
+                        refine_rounds=h["refine_rounds"], terms=terms,
+                        round_rank=h["round_rank"])
+                except CompressionError:
+                    if not mark:
+                        raise
+                    outs[i] = refined_rsvd(
+                        h["blocks"][i], h["keys"][i], rank=rank,
+                        oversample=h["oversample"],
+                        power_iters=h["power_iters"],
+                        refine_rounds=h["refine_rounds"], terms=terms,
+                        round_rank=h["round_rank"])._replace(tol_ok=False)
     return outs
 
 

@@ -45,7 +45,12 @@ from .mesh import compress_blocks, compress_blocks_adaptive
 #: (RefinedSVD.opt_resid): a block within OPT_SLACK of its own core
 #: spectrum's tail mass achieved what the spectral tolerance contract
 #: allows (flat-tailed spectra cannot reach 5*tol in Frobenius norm).
-OPT_SLACK = 1.25
+#: 1.5 (round 5; was 1.25): right-sized captures on the volume's
+#: flat-tail blocks intrinsically land at (1.05-1.3)x opt — 1.25 was
+#: knife-edged against that class and half the stream hard-repaired
+#: into the same place. The 5*tol floor still gates fast-decay
+#: spectra at the round-4 strictness.
+OPT_SLACK = 1.5
 #: Repair trigger multiple of the tolerance: blocks above
 #: consecutive useless soft repairs before the stream stops
 #: margin-restoration repairs (hard acceptance-failure repairs are
@@ -161,12 +166,15 @@ def _chunk_batch(count: int, granule: int, bm: int, bn: int,
     # 64 MB so no chunk crosses it. Override via RC_DEVICE_CHUNK_MB.
     import os as _os
 
-    cap_mb = float(_os.environ.get("RC_DEVICE_CHUNK_MB", 64))
+    # The cliff MOVES with backend state (nb=128 clean at 14:51, 122
+    # returning 71% garbage at 15:06 in the same session; nb<=16 clean
+    # throughout) — cap conservatively; refined_fused_batch_finish
+    # detects residual garbage and re-runs bad lanes in small
+    # sub-batches.
+    cap_mb = float(_os.environ.get("RC_DEVICE_CHUNK_MB", 16))
     cap_lanes = max(int(cap_mb * 1e6) // (bm * bn * 4 * granule),
                     1) * granule
-    # belt-and-braces absolute lane cap (the cliff was measured on one
-    # shape only; 128 lanes is the largest batch verified finite)
-    cap_lanes = min(cap_lanes, max(128 // granule, 1) * granule)
+    cap_lanes = min(cap_lanes, max(32 // granule, 1) * granule)
 
     nb = _native.chunk_batch(count, granule, bm, bn, elem_size, budget_bytes)
     if nb is not None:
@@ -420,16 +428,41 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     # measured residual, so width only sets per-round cost granularity)
     l_cap = 128 if growth else int(round_rank) + oversample
 
-    def chunk_width(chunk):
-        """Capture width for a chunk: l_cap, or the largest power of
-        two <= the chunk's smallest content min dim. Below 8, the
-        per-block host route stays (degenerate frames)."""
+    # Width feedback (round 5): capture error GROWS with width on
+    # flat-tail blocks — the f32 rounds' extra noise directions
+    # contaminate the DF merge. Measured on the volume's Laplace
+    # blocks (rank 17-27, CPU-reproduced): l=138 -> 3.5-4.4e-7,
+    # l=128 -> 2.8e-7, l=96 -> 9e-8, l=64+rr1 / l=74 -> 4.4-5.0e-8 =
+    # the spectral-cut optimum. Each bucket therefore runs a small
+    # PILOT chunk at the default width; its accepted ranks set the
+    # following chunks' width to ~2*rank + oversample (next power of
+    # two) with ONE refine round (rr=2 at narrow widths re-degrades:
+    # l=64 rr=2 measured 6.7-8.3e-8).
+    rank_seen: dict[tuple[int, int], int] = {}
+
+    def chunk_width(chunk, bucket=None):
+        """(width, feedback_active) for a chunk: the default clamp
+        (l_cap / pow2 <= content min dim), narrowed by the bucket's
+        observed-rank feedback. Below 8, the per-block host route
+        stays (degenerate frames)."""
         cmin = min(min(shapes[i]) for i in chunk)
-        if cmin >= l_cap:
-            return l_cap
         if cmin < 8:
-            return 8  # tiny blocks in this chunk pre-route
-        return 1 << (cmin.bit_length() - 1)
+            return 8, False  # tiny blocks in this chunk pre-route
+        base = l_cap if cmin >= l_cap else 1 << (cmin.bit_length() - 1)
+        r = rank_seen.get(bucket) if bucket is not None else None
+        if r is not None and not growth:
+            t = max(2 * r + oversample, 16)
+            fb = 1 << (t - 1).bit_length()  # next pow2 >= t
+            if fb < base:
+                return fb, True
+        elif not growth:
+            # pilot (no rank history yet): start NARROW — on flat-tail
+            # volumes 64 is the right width (wide pilots repaired ~70%
+            # of their blocks at 10-30 s each); a deep-rank block the
+            # 2x-capacity cannot reach falls to the growth fallback
+            # once, and its discovered rank right-sizes the bulk.
+            return min(base, 64), False
+        return base, False
 
     def is_pre_routed(i, l_chunk, bm, bn):
         # growth mode: padded frames are handled natively (zero-cut
@@ -445,7 +478,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         dtype = np.result_type(np.float64,
                                *[np.asarray(blocks[i]).dtype
                                  for i in chunk])
-        l_chunk = chunk_width(chunk)
+        l_chunk, fb = chunk_width(chunk, (bm, bn))
         stack = np.zeros((batch, bm, bn), dtype=dtype)
         for s_, i in enumerate(chunk):
             if is_pre_routed(i, l_chunk, bm, bn):
@@ -473,7 +506,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             # l*(1+rr) >= n pre-route — the round-3 40 s/block path)
             # stay at 2 rounds; explicit user refine_rounds wins.
             mode_kw["refine_rounds"] = (
-                1 if bm > bn and 3 * l_chunk >= bn else 2)
+                1 if fb or (bm > bn and 3 * l_chunk >= bn) else 2)
         t0 = time.perf_counter()
         h = refined_fused_batch_begin(
             stack, jax.random.fold_in(key, gi * 100003 + c0),
@@ -680,6 +713,9 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             # (host-backed after the batch fetch — no device traffic)
             u64, s64, vt64 = out.to_f64()
             u64, vt64 = u64[:m, :], vt64[:, :n]
+            if failure is None:
+                rank_seen[(bm, bn)] = max(rank_seen.get((bm, bn), 0),
+                                          out.rank)
             results[i] = BlockResult(
                 index=i, shape=(m, n), bucket=(bm, bn), rank=out.rank,
                 rel_residual=err, wall_time_s=w,
@@ -691,15 +727,29 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
     # Windowed pipeline: chunk k+1's packing + device capture overlap
     # chunk k's host tail (SVD + verification); `window` bounds memory.
     chunk_list = []
+    pilot_n = 8 * granule
     for gi, ((bm, bn), idxs) in enumerate(sorted(groups.items())):
         # sort by content min dim so the per-chunk capture width
         # (chunk_width) is homogeneous within each chunk
         idxs = sorted(idxs, key=lambda i: min(shapes[i]))
         batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
-        for c0 in range(0, len(idxs), batch):
-            chunk_list.append((gi, c0, bm, bn, batch, idxs[c0:c0 + batch]))
+        c0 = 0
+        if not growth and len(idxs) > pilot_n:
+            # small pilot chunk per bucket: its accepted ranks drive
+            # the width feedback for the bulk chunks (see chunk_width)
+            chunk_list.append((gi, 0, bm, bn, pilot_n, idxs[:pilot_n]))
+            c0 = pilot_n
+        for cc in range(c0, len(idxs), batch):
+            chunk_list.append((gi, cc, bm, bn, batch, idxs[cc:cc + batch]))
     in_flight: list = []
     for args in chunk_list:
+        if (not growth and (args[2], args[3]) not in rank_seen
+                and in_flight):
+            # a bucket's bulk chunks need its pilot collected first
+            # (width feedback); this only serializes bucket boundaries
+            for work in in_flight:
+                collect(work)
+            in_flight = []
         in_flight.append(dispatch(*args))
         if len(in_flight) >= window:
             collect(in_flight.pop(0))
