@@ -506,11 +506,15 @@ def main():
             # 16384^2 4b ablation can wedge a degraded tunnel for the
             # rest of the window (observed 2026-08-20: hung in a
             # device_get fetch; the SIGINT-preserved record lost only
-            # the rows after this point).
-            growth_dev = measure_growth_device()
-            print(f"[growth-device {growth_dev['m']}^2] "
-                  f"{growth_dev['growth_device_ms']:.1f} ms device-side",
-                  flush=True)
+            # the rows after this point). Size SWEEP (VERDICT r4 next
+            # #9: the round-4 claim was one point at 512^2).
+            growth_dev = []
+            for m_g in (512, 1024, 2048, 4096):
+                g = measure_growth_device(m=m_g, decay=100)
+                growth_dev.append(g)
+                print(f"[growth-device {g['m']}^2] "
+                      f"{g['growth_device_ms']:.1f} ms device-side",
+                      flush=True)
             ablation_4b = measure_4b_ablation()
             for row in ablation_4b:
                 print(f"[4b-ablation] {row['stage']}: "

@@ -75,6 +75,26 @@ def main():
     print(f"planar two-sided ID rank {ts.rank}: rel err {err:.2e}, "
           f"skeleton entrywise {skel_err:.2e}, {wall:.2f} s")
 
+    # ---- transparent dispatch (round 5): the STANDARD front door ---------
+    # The caller never names planarc — QR.compute_from / SVD.compute_from /
+    # rc.compress probe the backend once and route complex through the
+    # host ?geqp3/?gesdd-class kernels + planar pipelines when the device
+    # rejects complex (the reference's dtype-invisible macro surface,
+    # qr.rs:408-416). Factors come back host-resident; every conversion
+    # (compress, column_id, two_sided_id, to_mat) stays off the device.
+    from rusty_compression_tpu.models.qr import QR
+
+    qr = QR.compute_from(a)                       # c64 through the front door
+    cid = qr.compress(rc.Rank(k)).column_id()
+    err = np.linalg.norm(np.asarray(cid.to_mat()) - a) / np.linalg.norm(a)
+    print(f"standard-API c64 QR -> column ID rank {k}: rel err {err:.2e} "
+          f"(dispatched {'host/planar' if isinstance(qr.q, np.ndarray) else 'device'})")
+
+    ts2 = rc.compress(a, jax.random.key(4),
+                      rc.CompressionConfig.RANK(k, method="two_sided_id"))
+    err = np.linalg.norm(np.asarray(ts2.to_mat()) - a) / np.linalg.norm(a)
+    print(f"rc.compress c64 two-sided ID rank {ts2.rank}: rel err {err:.2e}")
+
     # ---- c128 class: refined planar rSVD at tol 1e-8 ---------------------
     a128 = a.astype(np.complex128)
     t0 = time.perf_counter()

@@ -452,7 +452,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         r = rank_seen.get(bucket) if bucket is not None else None
         if r is not None and not growth:
             t = max(2 * r + oversample, 16)
-            fb = 1 << (t - 1).bit_length()  # next pow2 >= t
+            # nearest multiple of 32 (pow2 rounding overshot: rank 28
+            # -> t=66 -> 128, right back in the degraded-width regime;
+            # 32-step keys keep the compile count per bucket small)
+            fb = max(32 * round(t / 32), 32)
             if fb < base:
                 return fb, True
         elif not growth:
