@@ -273,6 +273,7 @@ def main():
             "bf16_sketch_gbps": round(bytes_in / t_bf / 1e9, 3),
             "bf16_sketch_rel_error": bf_err,
             "refined_1e8_gbps_device": refined_gbps,
+            "cpu_baseline_spread": cpu_spread,
             "device": f"{dev.platform}:{dev.device_kind}",
         },
     }))
