@@ -796,7 +796,23 @@ def _fused_growth(a: DF, key, tol, l: int, rounds: int, power_iters: int,
 
     def cond(st):
         i, res, *_ = st
-        return (res > 0.5 * tol) & (i < rounds)
+        # non-improvement stop (round 5): a FLAT spectral tail can
+        # never reach the Frobenius target — its residual stalls at
+        # the tail mass while further rounds sample pure noise, whose
+        # merged fillers degrade the basis under bf16 GEMMs (measured
+        # 5e-6-class captures on the volume's tall Laplace blocks).
+        # hist[i-2] is the previous round's measured residual; a round
+        # that bought < 10% stops the loop — the HMT estimator-driven
+        # semantics (random_sampling.rs:248) with an honest stall
+        # detector. Deep spectra improve by decades per round and
+        # never trip it.
+        # on entry, res == hist[i-2] (the latest measurement); the one
+        # before it is hist[i-3] — defined from the third iteration on
+        hist = st[6]
+        prev = jnp.where(i >= 3, hist[jnp.maximum(i - 3, 0)],
+                         jnp.float32(jnp.inf))
+        improving = jnp.isinf(prev) | (res < 0.9 * prev)
+        return (res > 0.5 * tol) & (i < rounds) & improving
 
     def body(st):
         i, res, r, u, w, buf, hist = st
@@ -877,8 +893,15 @@ def _growth_fused_tall(a: DF, key, tol, block: int, power_iters: int,
                                              terms=terms)
     live = max(min(int(cnt), cap), 1)
     y64 = df_to_f64(b_r).T[:, :live]            # (m, live) = A Q_r_live
-    qy, ry = np.linalg.qr(y64)
-    b64 = ry @ df_to_f64(q_r).T[:live, :]       # (live, n)
+    q_r64 = df_to_f64(q_r)[:, :live]            # (n, live)
+    # exact re-orthonormalization of the device basis without a second
+    # read of A (see refined_fused_batch_finish's recompose): with
+    # Q_r = U S V^H, A U = Y V S^{-1}
+    ur, sr, vtr = np.linalg.svd(q_r64, full_matrices=False)
+    keepm = sr > 1e-6 * max(float(sr[0]), 1e-30)
+    sinv = np.where(keepm, 1.0 / np.where(sr > 0, sr, 1.0), 0.0)
+    qy, ry = np.linalg.qr(y64 @ (vtr.T * sinv[None, :]))
+    b64 = ry @ ur.T                             # (live, n)
     hist = tuple(float(h) for h in np.asarray(hist) if np.isfinite(h))
     captured = bool(float(res) <= 0.5 * tol)
     return df_from_f64(qy), b64, hist, captured
@@ -1509,17 +1532,46 @@ def refined_fused_batch_begin(blocks, key, rank: int | None = None,
     # body); only the saturated-tall shape needs the per-block host
     # route (data-dependent independence logic).
     if m > n and l * (1 + refine_rounds) >= n:
-        if tol is not None and not np.iscomplexobj(blocks):
-            # Saturated-tall with a tolerance (the stream's shape for
-            # every tall bucket): ONE transposed vmapped growth program
-            # instead of per-block host pipelines (round 5 — these
-            # chunks were 10-40 s PER BLOCK through the tunnel, ~half
-            # of the round-4 volume stream). Rank discovery at tol
-            # subsumes the fixed-round capacity hint.
-            return _begin_growth_stack(blocks, keys, tol,
-                                       min(l, int(growth_block)),
-                                       power_iters, terms, mesh, axis,
-                                       common)
+        if not np.iscomplexobj(blocks):
+            # Saturated-tall (the stream's shape for every tall
+            # bucket): ONE transposed vmapped FIXED-ROUND capture
+            # (round 5) instead of per-block host pipelines (10-40 s
+            # PER BLOCK through the tunnel, ~half the round-4 volume).
+            # The row-space capture is the regime where saturation is
+            # benign (see _growth_fused_tall); bounded rounds avoid
+            # the growth loop's noise-round merges on flat tails
+            # (measured 5e-6-class on TPU). finish recomposes on host.
+            lt = min(l, n)
+            total_t = min(lt * (1 + refine_rounds), m, n)
+            at = df(blocks.transpose(0, 2, 1))
+            hi_t, lo_t, shard_t = at.hi, at.lo, None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                if nb % mesh.shape[axis]:
+                    raise ValueError(
+                        f"block count {nb} not divisible by mesh axis "
+                        f"{axis!r} ({mesh.shape[axis]}); pad the stack")
+                shard_t = NamedSharding(mesh, PartitionSpec(axis))
+                hi_t = jax.device_put(hi_t, shard_t)
+                lo_t = jax.device_put(lo_t, shard_t)
+                keys = jax.device_put(keys, shard_t)
+            try:
+                q, b = _fused_capture_vmapped(
+                    hi_t, lo_t, keys, l=lt, power_iters=power_iters,
+                    refine_rounds=refine_rounds, terms=terms,
+                    total=total_t)
+            except jax.errors.JaxRuntimeError as ex:
+                import warnings
+
+                warnings.warn(f"transposed fused capture failed ({ex}); "
+                              "falling back to per-block pipelines",
+                              RuntimeWarning)
+                return {"mode": "per_block", "blocks": blocks,
+                        "keys": keys, **common}
+            return {"mode": "fused_tall", "q": q, "b": b, "nb": nb,
+                    "shard": shard_t, "blocks": blocks, "keys": keys,
+                    **common}
         return {"mode": "per_block", "blocks": blocks, "keys": keys,
                 **common}
     total = min(l * (1 + refine_rounds), m, n)
@@ -1660,7 +1712,7 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
     if h["mode"] in ("growth", "growth_tall"):
         captured = np.asarray(jax.device_get(h["res"])) <= 0.5 * float(tol)
     qy_host = None
-    if h["mode"] == "growth_tall":
+    if h["mode"] in ("growth_tall", "fused_tall"):
         # Batched recompose of the transposed capture (round 5, see
         # _growth_fused_tall): Y = (Q_r^T A^T)^T per block, host f64
         # QR of the live columns, B = R Q_r_live^T. The final factors
@@ -1673,12 +1725,29 @@ def refined_fused_batch_finish(h: dict) -> list[RefinedSVD]:
             q_r64[qbad] = 0.0
             b64[qbad] = 0.0
             b64[qbad, 0, 0] = 1.0
-        cnt = np.asarray(jax.device_get(h["cnt"]))
         cap = b64.shape[1]
-        live = int(max(min(int(cnt.max()), cap), 1))
-        y = b64.transpose(0, 2, 1)[:, :, :live]    # (nb, m, live)
-        qy_host, ry = np.linalg.qr(y)
-        b64 = ry @ q_r64.transpose(0, 2, 1)[:, :live, :]
+        if h["mode"] == "growth_tall":
+            cnt = np.asarray(jax.device_get(h["cnt"]))
+            live = int(max(min(int(cnt.max()), cap), 1))
+        else:  # fixed-round: every capture column is live
+            live = cap
+        y = b64.transpose(0, 2, 1)[:, :, :live]    # (nb, m, live) = A Q_r
+        q_r64 = q_r64[:, :, :live]
+        # The device basis Q_r need not be exactly orthonormal (the
+        # fast NS merge can leave a saturated basis at ortho ~1e-1 on
+        # some backends); re-orthonormalize it EXACTLY without a
+        # second read of A: with Q_r = U S V^H (host f64 SVD), and
+        # directions below the conditioning cut dropped,
+        #   A U = (A Q_r) V S^{-1} = Y V S^{-1}
+        # so the recompose projects onto the orthonormal U instead:
+        #   A ~= Q_y (R U^T),  Q_y R = qr(Y V S^{-1}).
+        ur, sr, vtr = np.linalg.svd(q_r64, full_matrices=False)
+        smax = np.maximum(sr[:, :1], 1e-30)
+        keepm = (sr > 1e-6 * smax)
+        sinv = np.where(keepm, 1.0 / np.where(sr > 0, sr, 1.0), 0.0)
+        w = vtr.transpose(0, 2, 1) * sinv[:, None, :]
+        qy_host, ry = np.linalg.qr(y @ w)
+        b64 = ry @ ur.transpose(0, 2, 1)
     _t_recompose = _time.perf_counter()
     try:
         uh, s, vt = np.linalg.svd(b64, full_matrices=False)  # batched f64

@@ -626,11 +626,13 @@ class TestBatchedGrowth:
             assert np.abs(u64.T @ u64
                           - np.eye(u64.shape[1])).max() < 1e-10
 
-    def test_tall_saturated_fixed_round_redirects_to_growth(self):
+    def test_tall_saturated_fixed_round_redirects(self):
         # fixed-round capacity >= n on a TALL stack used to route
         # per-block host pipelines (10-40 s/block through the tunnel);
-        # with a tolerance, it now runs the transposed vmapped growth
-        # (round 5) — one device program, same accuracy contract.
+        # it now runs the transposed vmapped FIXED-ROUND capture
+        # (round 5) — one device program, host recompose, same
+        # accuracy contract (bounded rounds: no growth-loop noise
+        # merges on flat tails).
         from rusty_compression_tpu import highacc as ha
 
         blocks = np.stack([decaying_matrix(47, 320, 96, decay_rank=30),
@@ -638,7 +640,7 @@ class TestBatchedGrowth:
         h = ha.refined_fused_batch_begin(
             blocks, jax.random.PRNGKey(47), tol=1e-8, round_rank=64,
             on_unreachable="mark")
-        assert h["mode"] == "growth_tall", h["mode"]
+        assert h["mode"] == "fused_tall", h["mode"]
         outs = ha.refined_fused_batch_finish(h)
         assert 22 <= outs[0].rank <= 26, outs[0].rank
         assert 38 <= outs[1].rank <= 42, outs[1].rank
