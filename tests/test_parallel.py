@@ -656,3 +656,45 @@ def test_refined_svd_reports_spectral_cut_optimal():
     true_opt = np.sqrt((sig[out.rank:] ** 2).sum()) / np.linalg.norm(sig)
     assert out.opt_resid == pytest.approx(true_opt, rel=0.2)
     assert out.residual_fro(a) <= 1.25 * max(5e-8, out.opt_resid)
+
+
+def test_refined_stream_width_feedback(caplog):
+    """Round 5: each bucket runs a narrow pilot chunk and right-sizes
+    its bulk chunks from the observed ranks (capture error grows with
+    round width on flat-tail spectra — docs/HIGHACC.md round-5). The
+    chunk log must show a pilot (n <= 8) followed by bulk chunks at a
+    width derived from the pilot's ranks, not the default cap."""
+    import logging
+
+    rng = np.random.default_rng(11)
+    m = n = 200
+
+    def block(seed):
+        r = rng  # shared stream; ranks ~10
+        u, _ = np.linalg.qr(r.standard_normal((m, 14)))
+        v, _ = np.linalg.qr(r.standard_normal((n, 14)))
+        sig = np.concatenate([10.0 ** np.linspace(0, -8.5, 10),
+                              np.full(4, 1e-9)])
+        return (u * sig) @ v.T
+
+    blocks = [block(i) for i in range(20)]
+    with caplog.at_level(
+            logging.INFO, logger="rusty_compression_tpu.scheduler.chunks"):
+        results = par.compress_heterogeneous_refined(
+            blocks, jax.random.key(12), rel_tol=1e-8, round_rank=128,
+            bucket_floor=128)
+    assert all(r.error is None for r in results)
+    chunk_lines = [r.message for r in caplog.records
+                   if r.message.startswith("chunk ")]
+    assert chunk_lines, "chunk log lines missing"
+    import re
+
+    widths = [(int(re.search(r"l=(\d+)", ln).group(1)),
+               int(re.search(r" n=(\d+)", ln).group(1)))
+              for ln in chunk_lines]
+    # pilot first (small n, narrow start width <= 64)
+    assert widths[0][1] <= 8 and widths[0][0] <= 64, widths
+    # bulk chunks narrowed by rank feedback: ranks ~10 -> 2*10+10=30
+    # -> 32-step width 32 (< the 128-cap default)
+    assert any(w <= 64 and c > 8 for w, c in widths[1:]), widths
+    assert min(w for w, _ in widths[1:]) <= 32, widths  # rank-fed narrowing
