@@ -454,10 +454,14 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             t = max(2 * r + oversample, 16)
             # nearest multiple of 32 (pow2 rounding overshot: rank 28
             # -> t=66 -> 128, right back in the degraded-width regime;
-            # 32-step keys keep the compile count per bucket small)
+            # 32-step keys keep the compile count per bucket small).
+            # feedback_active even at fb == base: rank history also
+            # caps refine_rounds at 1 — a 3-round capture at l ~ cmin
+            # saturates the content space and repairs the whole chunk
+            # (10k-run pilots, 16:48: l=64 rr=2 chunks at 1.3-3.4e-7
+            # vs opt 3-4e-8 on cmin-69 content)
             fb = max(32 * round(t / 32), 32)
-            if fb < base:
-                return fb, True
+            return min(fb, base), True
         elif not growth:
             # pilot (no rank history yet): start NARROW — on flat-tail
             # volumes 64 is the right width (wide pilots repaired ~70%
