@@ -512,8 +512,13 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             # where 3 rounds would saturate a tall frame (begin's
             # l*(1+rr) >= n pre-route — the round-3 40 s/block path)
             # stay at 2 rounds; explicit user refine_rounds wins.
+            # rr=1 at narrow widths (feedback chunks AND <=64-wide
+            # pilots): 2-round capacity 2l covers any rank a cmin >= l
+            # block can have, and the third round's noise merge is what
+            # degraded near-saturated chunks (docs/HIGHACC.md round 5)
             mode_kw["refine_rounds"] = (
-                1 if fb or (bm > bn and 3 * l_chunk >= bn) else 2)
+                1 if fb or l_chunk <= 64
+                or (bm > bn and 3 * l_chunk >= bn) else 2)
         t0 = time.perf_counter()
         h = refined_fused_batch_begin(
             stack, jax.random.fold_in(key, gi * 100003 + c0),
