@@ -128,9 +128,13 @@ def compress(target: Any, key, config: CompressionConfig, mesh=None):
     # refined_rsvd; accepting backends run the normal jnp paths.)
     from .utils.backend import use_host_complex
 
-    if not hasattr(target, "matmat") and not isinstance(
-            target, (list, tuple)) and use_host_complex(target):
-        return _compress_planar(target, key, c)
+    if not hasattr(target, "matmat"):
+        if isinstance(target, (list, tuple)):
+            if any(np.iscomplexobj(b) for b in target) \
+                    and use_host_complex(*target):
+                return _compress_planar_list(target, key, c)
+        elif use_host_complex(target):
+            return _compress_planar(target, key, c)
     if (c.rel_tol is not None and c.rel_tol < 1e-7
             and jax.default_backend() == "tpu"):
         import warnings
@@ -206,11 +210,16 @@ def _compress_planar(target: Any, key, c: CompressionConfig):
     """Complex target on a complex-rejecting device: the all-real
     planar pipelines (planarc; f32 class, factors host numpy).
 
-    Mirrors the single-matrix / (B, m, n)-stack branches of
-    ``compress``: adaptive returns ``(SVD, history)`` (history empty —
-    the planar rSVD does not expose per-round residuals), fixed-rank
-    returns the method's container; stacks map per block.
+    Result shapes mirror ``compress``'s real-dtype branches: a single
+    matrix returns the method's container (adaptive: ``(SVD, ranks-
+    free history)``); a (B, m, n) stack returns a batched ``SVD``
+    (adaptive additionally ``(svd, ranks, histories)``, rank-padded
+    like ``compress_blocks_adaptive``). Stacked interpolative methods
+    keep per-block containers in a list (their ragged pivot vectors do
+    not stack); heterogeneous lists return ``BlockResult``s like the
+    scheduler path.
     """
+    from .models.svd import SVD
     from .planarc import (planar_column_id, planar_row_id, planar_rsvd,
                           planar_two_sided_id)
 
@@ -219,7 +228,24 @@ def _compress_planar(target: Any, key, c: CompressionConfig):
         import jax as _jax
 
         keys = _jax.random.split(key, a.shape[0])
-        return [_compress_planar(b, k_, c) for b, k_ in zip(a, keys)]
+        outs = [_compress_planar(b, k_, c) for b, k_ in zip(a, keys)]
+        if c.rel_tol is not None:
+            svds = [o[0] for o in outs]
+            kmax = max(s.rank for s in svds)
+            u = np.zeros((a.shape[0], a.shape[1], kmax), svds[0].u.dtype)
+            s_ = np.zeros((a.shape[0], kmax), np.float64)
+            vt = np.zeros((a.shape[0], kmax, a.shape[2]), svds[0].u.dtype)
+            for i, sv in enumerate(svds):
+                u[i, :, :sv.rank] = sv.u
+                s_[i, :sv.rank] = sv.s
+                vt[i, :sv.rank, :] = sv.vt
+            ranks = np.asarray([sv.rank for sv in svds], np.int32)
+            return SVD(u, s_, vt), ranks, tuple(() for _ in svds)
+        if c.method in ("rsvd", "nystrom"):
+            return SVD(np.stack([o.u for o in outs]),
+                       np.stack([o.s for o in outs]),
+                       np.stack([o.vt for o in outs]))
+        return outs  # interpolative stacks: per-block containers
     if c.rel_tol is not None:
         return planar_rsvd(a, key, tol=c.rel_tol,
                            oversample=c.oversample), ()
@@ -230,6 +256,33 @@ def _compress_planar(target: Any, key, c: CompressionConfig):
            "two_sided_id": planar_two_sided_id,
            "sketched_two_sided_id": planar_two_sided_id}
     return fns[c.method](a, key, c.rank, oversample=c.oversample)
+
+
+def _compress_planar_list(blocks, key, c: CompressionConfig):
+    """Heterogeneous COMPLEX blocks on a complex-rejecting device:
+    per-block planar compression wrapped as ``BlockResult``s (the
+    list-target contract of ``compress``)."""
+    import jax as _jax
+    import time as _time
+
+    from .parallel.scheduler import BlockResult
+
+    keys = _jax.random.split(key, max(len(blocks), 1))
+    results = []
+    for i, (b, k_) in enumerate(zip(blocks, keys)):
+        b = np.asarray(b)
+        t0 = _time.perf_counter()
+        out = _compress_planar(b, k_, c)
+        fac = out[0] if isinstance(out, tuple) else out
+        wall = _time.perf_counter() - t0
+        rec = np.asarray(fac.to_mat())
+        err = float(np.linalg.norm(rec - b) / max(np.linalg.norm(b),
+                                                  1e-300))
+        results.append(BlockResult(
+            index=i, shape=b.shape, bucket=b.shape, rank=int(fac.rank),
+            rel_residual=err, wall_time_s=wall, factors=fac,
+            device_time_s=wall, error=None))
+    return results
 
 
 def _compress_highacc(target: Any, key, c: CompressionConfig):

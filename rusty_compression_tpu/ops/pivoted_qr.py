@@ -500,7 +500,7 @@ def pivoted_qr(a, max_rank=None, *, mode: str = "auto", block_size: int = 128,
                             pivot_candidates)
 
 
-def qrcp_host(b: np.ndarray, max_rank=None):
+def qrcp_host(b: np.ndarray, max_rank=None, out_dtype=None):
     """Host column-pivoted QR with the ``?geqp3`` contract (numpy).
 
     Greedy max-residual-norm pivoting + two-pass modified Gram-Schmidt:
@@ -508,13 +508,17 @@ def qrcp_host(b: np.ndarray, max_rank=None):
     ``b[:, ind] ~= q r`` (pivoted_qr.rs:187-190 semantics). Complex
     work runs in c128 internally — MGS in c64 loses orthogonality at
     ``eps_f32 * cond`` (measured 4e-3 on a cond-4e4 ID skeleton factor)
-    — and factors come back in the input's complex class. This is the
-    complex route on complex-rejecting devices and the core kernel of
-    the planar IDs (planarc).
+    — and factors come back in the input's complex class by default
+    (the reference's c-kernel class); pass ``out_dtype=np.complex128``
+    to keep the internal precision (the planar IDs' downstream
+    triangular solves against the skeleton factor need it — the cond-
+    4e4 measurement above). This is the complex route on complex-
+    rejecting devices and the core kernel of the planar IDs (planarc).
     """
     if b.ndim != 2:
         raise ValueError(f"pivoted_qr expects a matrix, got shape {b.shape}")
-    out_dt = np.result_type(b.dtype, np.complex64)
+    out_dt = (np.dtype(out_dtype) if out_dtype is not None
+              else np.result_type(b.dtype, np.complex64))
     b = np.array(b, dtype=np.result_type(b.dtype, np.complex128))
     l, n = b.shape
     k = min(l, n) if max_rank is None else min(int(max_rank), l, n)

@@ -171,10 +171,15 @@ def _chunk_batch(count: int, granule: int, bm: int, bn: int,
     # throughout) — cap conservatively; refined_fused_batch_finish
     # detects residual garbage and re-runs bad lanes in small
     # sub-batches.
-    cap_mb = float(_os.environ.get("RC_DEVICE_CHUNK_MB", 16))
+    env_mb = _os.environ.get("RC_DEVICE_CHUNK_MB")
+    cap_mb = float(env_mb) if env_mb else 16.0
     cap_lanes = max(int(cap_mb * 1e6) // (bm * bn * 4 * granule),
                     1) * granule
-    cap_lanes = min(cap_lanes, max(32 // granule, 1) * granule)
+    if not env_mb:
+        # default-mode absolute lane clamp (the cliff was measured on
+        # one shape only); an explicit RC_DEVICE_CHUNK_MB override is
+        # honored byte-for-byte
+        cap_lanes = min(cap_lanes, max(32 // granule, 1) * granule)
 
     nb = _native.chunk_batch(count, granule, bm, bn, elem_size, budget_bytes)
     if nb is not None:
@@ -579,8 +584,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             b = None  # unpadded host block, materialized on demand
             pre_routed = is_pre_routed(i, l_chunk, bm, bn)
             out = outs[s_]
-            # pre-routed slots force the host path below
+            # pre-routed slots force the host path below; a non-finite
+            # residual (degraded-backend garbage in the apply-stage
+            # factors) must fail every gate, not nan-pass them
             err = errs.get(s_, np.inf)
+            if not np.isfinite(err):
+                err = np.inf
             w, dev_w = wall, dev_block
             failure = None
 
@@ -692,6 +701,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 t0g = time.perf_counter()
                 if b is None:
                     b = np.asarray(blocks[i])
+                # growth mode has no first fallback, so the soft-repair
+                # budget must be accounted here (else the round-4
+                # repair storm persists on growth streams)
+                soft2 = (growth and not pre_routed and np.isfinite(err)
+                         and err <= _accept_thr(out))
+                err_before2 = err
                 try:
                     out = refined_rsvd(
                         b, jax.random.fold_in(keys[i], 1), tol=rel_tol,
@@ -713,6 +728,10 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 rec = u64 @ (s64[:, None] * vt64)
                 err = float(np.linalg.norm(rec - b)
                             / np.linalg.norm(b))
+                if soft2:
+                    soft_state["fails"] = (
+                        0 if err < err_before2 / 1.5
+                        else soft_state["fails"] + 1)
                 w += time.perf_counter() - t0g
                 dev_w += time.perf_counter() - t0g
             if failure is None and err > max(5 * rel_tol,
@@ -735,6 +754,11 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                 error=failure)
             if on_result is not None:
                 on_result(results[i])
+        # all-failing pilot: record a width-neutral sentinel so the
+        # bucket's bulk chunks neither narrow nor re-trigger the
+        # pilot barrier on every subsequent chunk (which would
+        # serialize the whole window pipeline)
+        rank_seen.setdefault((bm, bn), l_cap)
 
     # Windowed pipeline: chunk k+1's packing + device capture overlap
     # chunk k's host tail (SVD + verification); `window` bounds memory.
@@ -746,11 +770,12 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         idxs = sorted(idxs, key=lambda i: min(shapes[i]))
         batch = _chunk_batch(len(idxs), granule, bm, bn, 8, chunk_bytes)
         c0 = 0
-        if not growth and len(idxs) > pilot_n:
+        pn = min(pilot_n, batch)  # pilots respect the device-stack cap
+        if not growth and len(idxs) > pn:
             # small pilot chunk per bucket: its accepted ranks drive
             # the width feedback for the bulk chunks (see chunk_width)
-            chunk_list.append((gi, 0, bm, bn, pilot_n, idxs[:pilot_n]))
-            c0 = pilot_n
+            chunk_list.append((gi, 0, bm, bn, pn, idxs[:pn]))
+            c0 = pn
         for cc in range(c0, len(idxs), batch):
             chunk_list.append((gi, cc, bm, bn, batch, idxs[cc:cc + batch]))
     in_flight: list = []

@@ -142,8 +142,13 @@ def planar_rsvd(a, key, rank: int | None = None, tol: float | None = None,
 
 # host ?geqp3-contract QRCP: shared with the transparent complex
 # dispatch (ops.pivoted_qr.qrcp_host, the complex route on
-# complex-rejecting devices)
-_np_qrcp = qrcp_host
+# complex-rejecting devices). c128 factors ALWAYS: the downstream
+# triangular solves against the ID skeleton factor lose eps_f32*cond
+# (measured 4e-3 at cond 4e4) if the QRCP returns the input's c64
+# class.
+import functools as _functools
+
+_np_qrcp = _functools.partial(qrcp_host, out_dtype=np.complex128)
 
 
 def planar_column_id(a, key, rank: int, oversample: int = 10,

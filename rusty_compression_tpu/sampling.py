@@ -468,8 +468,12 @@ def sketched_column_id(op, key, rank: int | None = None,
     if tol is not None:
         # reference spectral-cut rule on the sketch diagonal; the 0.5x
         # tightening covers the sketched-LS multiple so the assembled
-        # ID still meets the 5*tol reconstruction gate
+        # ID still meets the 5*tol reconstruction gate. The cut may
+        # land in the oversample margin — clamp to the max_rank cap
+        # (qr.rs:172-174 clamp semantics).
         qr_s = qr_s.compress_qr_tolerance(0.5 * float(tol))
+        if max_rank is not None:
+            qr_s = qr_s.compress_qr_rank(int(max_rank))
     cid_s = qr_s.column_id()   # z + col_ind from the sketch; c discarded
     piv = cid_s.col_ind[:cid_s.rank]
     if op.has_cheap_dense():

@@ -114,6 +114,31 @@ class TestStandardAPI:
         assert _rel(svd.to_mat(), a) < 5e-4
 
 
+def test_compress_front_door_stack_and_list():
+    """Stack and heterogeneous-list targets keep compress()'s result
+    shapes on the rejecting backend (no list-vs-tuple surprises)."""
+    stack = np.stack([_fixture(10 + i, 48, 40) for i in range(3)])
+    svd, ranks, hists = rc.compress(stack, jax.random.key(3),
+                                    rc.CompressionConfig.ADAPTIVE(1e-4))
+    assert isinstance(svd.u, np.ndarray) and svd.u.shape[0] == 3
+    assert ranks.shape == (3,) and len(hists) == 3
+    for i in range(3):
+        rec = svd.u[i] @ (svd.s[i][:, None] * svd.vt[i])
+        assert _rel(rec, stack[i]) < 5e-4
+    svd_f = rc.compress(stack, jax.random.key(4),
+                        rc.CompressionConfig.RANK(12))
+    assert isinstance(svd_f.u, np.ndarray) and svd_f.u.shape == (3, 48, 12)
+
+    blocks = [_fixture(20, 40, 32), _fixture(21, 56, 44)]
+    res = rc.compress(blocks, jax.random.key(5),
+                      rc.CompressionConfig.RANK(10))
+    assert [r.index for r in res] == [0, 1]
+    for r, b in zip(res, blocks):
+        assert isinstance(np.asarray(r.factors.u), np.ndarray)
+        assert r.error is None
+        assert r.rel_residual < 10 * 10 ** (-10 * 10 / 31)
+
+
 def test_highacc_routes_planar():
     from rusty_compression_tpu.highacc import refined_rsvd
 

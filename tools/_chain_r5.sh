@@ -10,6 +10,9 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export RC_CHUNK_LOG=1
+# this tunnel rejects complex dtypes (probed); pinning it avoids the
+# lazy subprocess probe racing a running stream (one-TPU-process rule)
+export RC_COMPLEX_DEVICE=0
 PHASE="${CHAIN_PHASE:-vol1024}"
 LOG=/tmp/chain_r5_runs.log
 
