@@ -530,7 +530,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
             tol=rel_tol, mesh=mesh, axis=axis, on_unreachable="mark",
             **mode_kw, **kwargs)
         t_enq = time.perf_counter()
-        return (h, stack, chunk, bm, bn, l_chunk, t0, t_enq)
+        return (h, stack, chunk, bm, bn, l_chunk, t0, t_enq, mode_kw)
 
     prev_ready = [0.0]
     # consecutive soft (margin-restoration) repairs that improved
@@ -540,7 +540,7 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
 
     def collect(work):
         """Finish one chunk: host SVD tail + batched f64 verify."""
-        h, stack, chunk, bm, bn, l_chunk, t0, t_enq = work
+        h, stack, chunk, bm, bn, l_chunk, t0, t_enq, mode_kw = work
         outs = refined_fused_batch_finish(h)
         t_ready = time.perf_counter()
         _chunk_log.info(
@@ -579,6 +579,50 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                                        - stack[s_, :m, :n])
                 errs[s_] = (float(rnorm / bnorm) if bnorm > 0
                             else (0.0 if rnorm == 0 else np.inf))
+
+        # Chunk-level fresh-key RETRY (round 5): the bf16 f32-rounds'
+        # sketch-luck tail is distributional — on the 10k volume,
+        # chunks landed at (1.6-2.0)x their spectral-cut optimum and
+        # tripped per-block host repairs (~10 s/block through the
+        # tunnel) wholesale. ONE re-dispatch of just the failing slots
+        # with a fresh key costs chunk-seconds and usually re-draws
+        # them under the gate; stragglers still take the host routes.
+        def _gate_thr(o):
+            v = getattr(o, "opt_resid", None)
+            opt = (float(v) if v is not None and np.isfinite(v) else 0.0)
+            return max(5 * rel_tol, OPT_SLACK * opt)
+
+        if live and not growth:
+            need = [s_ for s_ in live
+                    if not (outs[s_].tol_ok
+                            and errs.get(s_, np.inf) <= _gate_thr(outs[s_]))]
+            if len(need) >= 2:
+                try:
+                    h2 = refined_fused_batch_begin(
+                        np.stack([stack[s_] for s_ in need]),
+                        jax.random.fold_in(key, 7_000_003 + chunk[need[0]]),
+                        tol=rel_tol, on_unreachable="mark",
+                        **mode_kw, **kwargs)
+                    outs2 = refined_fused_batch_finish(h2)
+                except Exception:  # noqa: BLE001 — retry is best-effort
+                    outs2 = None
+                if outs2 is not None:
+                    improved = 0
+                    for j, s_ in enumerate(need):
+                        o2 = outs2[j]
+                        m, n = shapes[chunk[s_]]
+                        u64, s64, vt64 = o2.to_f64()
+                        rec2 = u64[:m] @ (s64[:, None] * vt64[:, :n])
+                        bnorm = np.linalg.norm(stack[s_, :m, :n])
+                        e2 = (float(np.linalg.norm(
+                            rec2 - stack[s_, :m, :n]) / bnorm)
+                            if bnorm > 0 else np.inf)
+                        if np.isfinite(e2) and e2 < errs.get(s_, np.inf):
+                            outs[s_], errs[s_] = o2, e2
+                            improved += 1
+                    _chunk_log.info(
+                        "retry bucket=(%d,%d) n=%d improved=%d", bm, bn,
+                        len(need), improved)
         for s_, i in enumerate(chunk):
             m, n = shapes[i]
             b = None  # unpadded host block, materialized on demand
