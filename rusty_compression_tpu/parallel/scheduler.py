@@ -453,7 +453,14 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
         cmin = min(min(shapes[i]) for i in chunk)
         if cmin < 8:
             return 8, False  # tiny blocks in this chunk pre-route
-        base = l_cap if cmin >= l_cap else 1 << (cmin.bit_length() - 1)
+        # width <= cmin/2: a round width near the content min dim
+        # SATURATES the content space and floors the capture at
+        # (1.6-2)x its optimum (measured across buckets: l=138 at
+        # cmin~146 -> 3.5-4.4e-7, l=74 -> optimal; l=64 at cmin~65-70
+        # -> 6.5-8.4e-8 vs opt 4e-8 on the 10k volume). Capacity stays
+        # sufficient: two rounds give 2l ~ cmin >= any content rank.
+        half = max(cmin // 2, 8)
+        base = min(l_cap, 1 << (half.bit_length() - 1))
         r = rank_seen.get(bucket) if bucket is not None else None
         if r is not None and not growth:
             t = max(2 * r + oversample, 16)
