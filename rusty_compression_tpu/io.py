@@ -99,11 +99,21 @@ def load_block_results(directory: str) -> list[dict]:
 
 def pending_blocks(directory: str, n_blocks: int) -> list[int]:
     """Submission indices NOT yet present in a checkpoint directory —
-    the re-submission set for elastic recovery."""
+    the re-submission set for elastic recovery.
+
+    Blocks recorded with an ``environment:``-class error (transient
+    backend failures contained by the stream — tunneled-compile drops,
+    dead-device fetches) count as PENDING: a later ``--resume`` in a
+    healthier window re-runs them, unlike genuine per-block failures
+    (unreachable tolerances), which stay recorded."""
     done = set()
     manifest = os.path.join(directory, "manifest.jsonl")
     if os.path.exists(manifest):
         with open(manifest) as mf:
             for line in mf:
-                done.add(json.loads(line)["block"])
+                row = json.loads(line)
+                err = row.get("error")
+                if err and str(err).startswith("environment:"):
+                    continue
+                done.add(row["block"])
     return [i for i in range(n_blocks) if i not in done]

@@ -735,9 +735,19 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                             else soft_state["fails"] + 1)
                 except CompressionError:
                     pass  # growth fallback decides
+                except jax.errors.JaxRuntimeError as ex:
+                    # transient backend failure (tunneled-compile drop,
+                    # dead-device fetch) mid-repair: CONTAIN it — the
+                    # block is recorded with an environment: error and
+                    # --resume re-runs it in a healthier window
+                    # (io.pending_blocks), instead of one flaky compile
+                    # killing a 10k-block stream (observed 18:53).
+                    failure = ("environment: host-route repair died "
+                               f"({str(ex).splitlines()[0][:160]})")
                 w += time.perf_counter() - t0f
                 dev_w += time.perf_counter() - t0f
-            if not out.tol_ok or needs_repair(err, out):
+            if failure is None and (not out.tol_ok
+                                    or needs_repair(err, out)):
                 # Second fallback: the fixed-round capacity
                 # (round_rank * (1 + refine_rounds)) may simply sit
                 # below the block's true rank at this tolerance — the
@@ -774,15 +784,23 @@ def compress_heterogeneous_refined(blocks: Sequence, key,
                              else round_rank)
                     out = refined_rsvd(b, keys[i],
                                        round_rank=rr_fb, **kwargs)
-                u64, s64, vt64 = out.to_f64()
-                u64, vt64 = u64[:m, :], vt64[:, :n]
-                rec = u64 @ (s64[:, None] * vt64)
-                err = float(np.linalg.norm(rec - b)
-                            / np.linalg.norm(b))
-                if soft2:
-                    soft_state["fails"] = (
-                        0 if err < err_before2 / 1.5
-                        else soft_state["fails"] + 1)
+                except jax.errors.JaxRuntimeError as ex:
+                    # environmental containment (see first fallback):
+                    # recorded with an environment: error; --resume
+                    # re-runs the block in a healthier window
+                    failure = ("environment: growth fallback died "
+                               f"({str(ex).splitlines()[0][:160]})")
+                if failure is None or not failure.startswith(
+                        "environment:"):
+                    u64, s64, vt64 = out.to_f64()
+                    u64, vt64 = u64[:m, :], vt64[:, :n]
+                    rec = u64 @ (s64[:, None] * vt64)
+                    err = float(np.linalg.norm(rec - b)
+                                / np.linalg.norm(b))
+                    if soft2:
+                        soft_state["fails"] = (
+                            0 if err < err_before2 / 1.5
+                            else soft_state["fails"] + 1)
                 w += time.perf_counter() - t0g
                 dev_w += time.perf_counter() - t0g
             if failure is None and err > max(5 * rel_tol,

@@ -30,9 +30,13 @@ while true; do
           -o /tmp/ha_ckpt_r4 --tol 1e-8 --highacc --round-rank 128 \
           --resume --metrics /tmp/ha_metrics_r5.jsonl >> "$LOG" 2>&1
         if python - <<'EOF'
-import sys
-n = sum(1 for _ in open('/tmp/ha_ckpt_r4/manifest.jsonl'))
-sys.exit(0 if n >= 1024 else 1)
+import json, sys
+done = set()
+for l in open('/tmp/ha_ckpt_r4/manifest.jsonl'):
+    r = json.loads(l)
+    if not (r.get('error') or '').startswith('environment:'):
+        done.add(r['block'])
+sys.exit(0 if len(done) >= 1024 else 1)
 EOF
         then PHASE=vol10k; fi ;;
       vol10k)
@@ -43,10 +47,15 @@ EOF
           -o /tmp/ha_ckpt10k --tol 1e-8 --highacc --round-rank 128 \
           --resume --metrics /tmp/ha10k_metrics.jsonl >> "$LOG" 2>&1
         if python - <<'EOF'
-import os, sys
+import json, os, sys
 p = '/tmp/ha_ckpt10k/manifest.jsonl'
-n = sum(1 for _ in open(p)) if os.path.exists(p) else 0
-sys.exit(0 if n >= 10000 else 1)
+done = set()
+if os.path.exists(p):
+    for l in open(p):
+        r = json.loads(l)
+        if not (r.get('error') or '').startswith('environment:'):
+            done.add(r['block'])
+sys.exit(0 if len(done) >= 10000 else 1)
 EOF
         then PHASE=bench; fi ;;
       bench)

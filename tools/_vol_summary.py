@@ -17,8 +17,11 @@ import numpy as np
 def main() -> int:
     ckpt = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ha_ckpt_r4"
     blocks_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ha_blocks"
-    rows = [json.loads(l) for l in open(os.path.join(ckpt,
-                                                     "manifest.jsonl"))]
+    by_block = {}
+    for l in open(os.path.join(ckpt, "manifest.jsonl")):
+        r = json.loads(l)
+        by_block[r["block"]] = r  # resume appends: last row wins
+    rows = list(by_block.values())
     resids = np.array([r["rel_residual"] for r in rows], float)
     ranks = np.array([r["rank"] for r in rows], int)
     walls = np.array([r.get("wall_time_s") or 0.0 for r in rows], float)
